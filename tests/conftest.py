@@ -1,0 +1,30 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU analog of a fake backend (SURVEY.md §4): multi-chip sharding
+logic is validated on host CPU with XLA's virtual device partitioning, so the
+suite runs anywhere. Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) == 8, f"expected 8 virtual devices, got {len(devices)}"
+    return devices
