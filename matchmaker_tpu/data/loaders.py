@@ -1,0 +1,207 @@
+"""Loader factory: file + tokenizer + config → iterator of fixed-shape batches.
+
+Mirrors the reference's loader factory surface (utils/input_pipeline.py:37-148):
+``triple_training_loader`` (static triples, optional teacher scores),
+``reranking_inference_loader`` (q/d tuples with ids), and
+``single_sequence_loader`` (id \t text corpus/query encoding). Instead of
+AllenNLP MultiProcessDataLoader worker processes, batches are produced on the
+host thread and overlapped with device compute via ``device_prefetch`` (a
+background thread that keeps N batches in flight on-device).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from matchmaker_tpu.data.batching import pad_to_batch
+from matchmaker_tpu.data.readers import read_id_sequences, read_reranking_tuples, read_triples
+
+
+def _is_concatenated(config) -> bool:
+    return config.get("model_input_type", "independent") == "concatenated"
+
+
+def _encode_query_aug(tokenizer, text: str, max_len: int, n_mask: int):
+    """ColBERT-style query augmentation: append n_mask [MASK] tokens
+    (reference independent_training_loader.py:176-182)."""
+    ids, mask = tokenizer.encode(text, max_len)
+    if n_mask > 0 and hasattr(tokenizer, "mask_token_id"):
+        length = int(mask.sum())
+        end = min(length + n_mask, max_len)
+        ids[length:end] = tokenizer.mask_token_id
+        mask[length:end] = 1.0
+    return ids, mask
+
+
+def triple_training_loader(
+    config,
+    tokenizer,
+    path: str,
+    batch_size: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield training batches from a pre-generated triple file."""
+    batch_size = batch_size or config.get("batch_size_train", 32)
+    max_q = config.get("max_query_length", 30)
+    max_d = config.get("max_doc_length", 200)
+    with_scores = config.get("train_pairwise_distillation", False)
+    concat = _is_concatenated(config)
+    q_aug = config.get("query_augment_mask_number", 0)
+
+    buf: List[dict] = []
+
+    def flush():
+        batch: Dict[str, np.ndarray] = {}
+        for key in buf[0]:
+            batch[key] = np.stack([s[key] for s in buf])
+        buf.clear()
+        return pad_to_batch(batch, batch_size)
+
+    for sample in read_triples(
+        path,
+        with_scores=with_scores,
+        augmentation=config.get("train_data_augment", "none"),
+        seed=config.get("random_seed", 42),
+    ):
+        if concat:
+            pos_ids, pos_mask, pos_type = tokenizer.encode_pair(sample.query, sample.doc_pos, max_q, max_d)
+            neg_ids, neg_mask, neg_type = tokenizer.encode_pair(sample.query, sample.doc_neg, max_q, max_d)
+            row = {
+                "pos_ids": pos_ids, "pos_mask": pos_mask, "pos_type_ids": pos_type,
+                "neg_ids": neg_ids, "neg_mask": neg_mask, "neg_type_ids": neg_type,
+            }
+        else:
+            q_ids, q_mask = _encode_query_aug(tokenizer, sample.query, max_q, q_aug)
+            p_ids, p_mask = tokenizer.encode(sample.doc_pos, max_d)
+            n_ids, n_mask = tokenizer.encode(sample.doc_neg, max_d)
+            row = {
+                "query_ids": q_ids, "query_mask": q_mask,
+                "doc_pos_ids": p_ids, "doc_pos_mask": p_mask,
+                "doc_neg_ids": n_ids, "doc_neg_mask": n_mask,
+            }
+        if with_scores:
+            row["pos_score"] = np.float32(sample.pos_score or 0.0)
+            row["neg_score"] = np.float32(sample.neg_score or 0.0)
+        buf.append(row)
+        if len(buf) == batch_size:
+            yield flush()
+    if buf:
+        yield flush()
+
+
+def reranking_inference_loader(
+    config,
+    tokenizer,
+    path: str,
+    batch_size: Optional[int] = None,
+) -> Iterator[Tuple[Dict[str, np.ndarray], List[str], List[str]]]:
+    """Yield (batch, query_ids, doc_ids) for re-ranking evaluation."""
+    batch_size = batch_size or config.get("batch_size_eval", 64)
+    max_q = config.get("max_query_length", 30)
+    max_d = config.get("max_doc_length", 200)
+    concat = _is_concatenated(config)
+
+    buf: List[dict] = []
+    qids: List[str] = []
+    dids: List[str] = []
+
+    def flush():
+        batch = {key: np.stack([s[key] for s in buf]) for key in buf[0]}
+        out = (pad_to_batch(batch, batch_size), list(qids), list(dids))
+        buf.clear()
+        qids.clear()
+        dids.clear()
+        return out
+
+    for sample in read_reranking_tuples(path):
+        if concat:
+            ids, mask, type_ids = tokenizer.encode_pair(sample.query, sample.doc, max_q, max_d)
+            row = {"seq_ids": ids, "seq_mask": mask, "seq_type_ids": type_ids}
+        else:
+            q_ids, q_mask = tokenizer.encode(sample.query, max_q)
+            d_ids, d_mask = tokenizer.encode(sample.doc, max_d)
+            row = {
+                "query_ids": q_ids, "query_mask": q_mask,
+                "doc_ids": d_ids, "doc_mask": d_mask,
+            }
+        buf.append(row)
+        qids.append(sample.query_id)
+        dids.append(sample.doc_id)
+        if len(buf) == batch_size:
+            yield flush()
+    if buf:
+        yield flush()
+
+
+def single_sequence_loader(
+    config,
+    tokenizer,
+    path: str,
+    sequence_type: str = "doc",
+    batch_size: Optional[int] = None,
+) -> Iterator[Tuple[Dict[str, np.ndarray], List[str]]]:
+    """Yield (batch, sequence_ids) for corpus/query encoding
+    (reference utils/input_pipeline.py:37-66)."""
+    batch_size = batch_size or config.get("batch_size_inference", 128)
+    max_len = (
+        config.get("max_query_length", 30)
+        if sequence_type == "query"
+        else config.get("max_doc_length", 200)
+    )
+    q_aug = config.get("query_augment_mask_number", 0) if sequence_type == "query" else 0
+
+    buf: List[dict] = []
+    seq_ids: List[str] = []
+
+    def flush():
+        batch = {key: np.stack([s[key] for s in buf]) for key in buf[0]}
+        out = (pad_to_batch(batch, batch_size), list(seq_ids))
+        buf.clear()
+        seq_ids.clear()
+        return out
+
+    for sid, text in read_id_sequences(path):
+        ids, mask = _encode_query_aug(tokenizer, text, max_len, q_aug)
+        buf.append({"seq_ids": ids, "seq_mask": mask})
+        seq_ids.append(sid)
+        if len(buf) == batch_size:
+            yield flush()
+    if buf:
+        yield flush()
+
+
+def device_prefetch(iterator, n_prefetch: int = 2, sharding=None):
+    """Run the host pipeline in a background thread, keep ``n_prefetch``
+    batches transferred ahead (double buffering over PCIe/host→HBM).
+
+    If ``sharding`` is given, arrays are placed with it (batch-dim sharding
+    over the mesh's data axis)."""
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=n_prefetch)
+    _END = object()
+
+    def put(item):
+        def place(x):
+            if isinstance(x, np.ndarray):
+                return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+            return x
+        q.put(jax.tree_util.tree_map(place, item))
+
+    def worker():
+        try:
+            for item in iterator:
+                put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,174 @@
+"""Host-side tokenization producing fixed-shape int32 arrays.
+
+Two families, mirroring the reference's embedder split (utils/config.py:56-80):
+
+- ``embedding``: whitespace/word tokenization + a vocabulary lookup, for the
+  GloVe-era models (KNRM/TK/...). Replaces the reference's BlingFire C++
+  tokenizer (dataloaders/bling_fire_tokenizer.py:6-12) with a fast regex
+  splitter with the same role; ids 0/1 are reserved for PAD/OOV like AllenNLP.
+- ``huggingface_bpe``: a HF ``AutoTokenizer`` wrapper for transformer models
+  (reference dataloaders/transformer_tokenizer.py:6-37).
+
+Everything returns (ids, mask) numpy arrays already padded to the configured
+max length — TPU programs only ever see static shapes.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+PAD_ID = 0
+OOV_ID = 1
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+
+
+class WhitespaceTokenizer:
+    """Word/punctuation splitter (BlingFire-equivalent behavior for IR text)."""
+
+    def tokenize(self, text: str) -> List[str]:
+        return _WORD_RE.findall(text.lower())
+
+
+class Vocabulary:
+    """token -> id mapping with reserved PAD=0 and OOV=1."""
+
+    def __init__(self, tokens: Optional[Iterable[str]] = None):
+        self.token_to_id: Dict[str, int] = {"@@PADDING@@": PAD_ID, "@@UNKNOWN@@": OOV_ID}
+        if tokens is not None:
+            for t in tokens:
+                self.add(t)
+
+    def add(self, token: str) -> int:
+        if token not in self.token_to_id:
+            self.token_to_id[token] = len(self.token_to_id)
+        return self.token_to_id[token]
+
+    def __len__(self) -> int:
+        return len(self.token_to_id)
+
+    def __getitem__(self, token: str) -> int:
+        return self.token_to_id.get(token, OOV_ID)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Vocabulary":
+        """One token per line (reference vocab-file format, preprocessing/generate_vocab.py)."""
+        v = cls()
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                tok = line.rstrip("\n")
+                if tok and tok not in ("@@PADDING@@", "@@UNKNOWN@@"):
+                    v.add(tok)
+        return v
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            for tok, idx in sorted(self.token_to_id.items(), key=lambda kv: kv[1]):
+                if idx >= 2:
+                    f.write(tok + "\n")
+
+
+class VocabTokenizer:
+    """Whitespace tokenization + vocab lookup → fixed-shape (ids, mask).
+
+    ``mask_oov`` replicates the reference's GloVe-model mask rule of treating
+    OOV like padding in the match matrix (modules/neuralIR_encoder.py:29-43).
+    """
+
+    def __init__(self, vocab: Vocabulary, mask_oov: bool = False):
+        self.vocab = vocab
+        self.words = WhitespaceTokenizer()
+        self.mask_oov = mask_oov
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def pad_id(self) -> int:
+        return PAD_ID
+
+    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.full(max_length, PAD_ID, dtype=np.int32)
+        toks = self.words.tokenize(text)[:max_length]
+        for i, t in enumerate(toks):
+            ids[i] = self.vocab[t]
+        mask = ids != PAD_ID
+        if self.mask_oov:
+            mask &= ids != OOV_ID
+        return ids, mask.astype(np.float32)
+
+    def encode_pair(self, query: str, doc: str, max_q: int, max_d: int):
+        raise NotImplementedError("embedding-based models use independent inputs")
+
+
+class HuggingfaceTokenizer:
+    """HF AutoTokenizer wrapper with fixed-length padding.
+
+    ``encode`` → single sequence (bi-encoders); ``encode_pair`` → one
+    concatenated sequence with token-type ids (cross-encoders), mirroring the
+    independent/concatenated reader split (utils/input_pipeline.py:150-171).
+    """
+
+    def __init__(self, model_name_or_path: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(model_name_or_path, use_fast=True)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tok.vocab_size
+
+    @property
+    def pad_id(self) -> int:
+        return self.tok.pad_token_id or 0
+
+    @property
+    def mask_token_id(self) -> int:
+        return self.tok.mask_token_id
+
+    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        out = self.tok(
+            text, max_length=max_length, truncation=True, padding="max_length", return_tensors="np"
+        )
+        ids = out["input_ids"][0].astype(np.int32)
+        mask = out["attention_mask"][0].astype(np.float32)
+        return ids, mask
+
+    def encode_pair(self, query: str, doc: str, max_q: int, max_d: int):
+        out = self.tok(
+            query,
+            doc,
+            max_length=max_q + max_d,
+            truncation="only_second",
+            padding="max_length",
+            return_tensors="np",
+        )
+        ids = out["input_ids"][0].astype(np.int32)
+        mask = out["attention_mask"][0].astype(np.float32)
+        type_ids = out.get("token_type_ids")
+        if type_ids is None:
+            type_ids = np.zeros_like(ids)
+        else:
+            type_ids = type_ids[0].astype(np.int32)
+        return ids, mask, type_ids
+
+    def batch_encode(self, texts: List[str], max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        out = self.tok(
+            texts, max_length=max_length, truncation=True, padding="max_length", return_tensors="np"
+        )
+        return out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.float32)
+
+
+def build_tokenizer(config) -> "VocabTokenizer | HuggingfaceTokenizer":
+    """Tokenizer factory keyed on ``token_embedder_type`` (config auto-fill)."""
+    kind = config.get("token_embedder_type", "huggingface_bpe")
+    if kind == "embedding":
+        vocab_path = config.get("vocab_directory") or config.get("vocab_path")
+        if vocab_path is None:
+            raise ValueError("embedding token_embedder_type requires vocab_path")
+        return VocabTokenizer(Vocabulary.from_file(vocab_path), mask_oov=config.get("mask_oov", False))
+    return HuggingfaceTokenizer(config.get("bert_pretrained_model", "distilbert-base-uncased"))

@@ -1,0 +1,184 @@
+"""Re-ranking evaluation: scoring loop, metric computation, result writers.
+
+Contract: reference eval.py — ``evaluate_model`` (no-grad scoring loop with an
+in-memory batch cache for repeated validation, eval.py:32-204),
+``validate_model`` (metric battery incl. the cs@N candidate-depth sweep,
+:242-377), ``test_model`` (:379-413), TREC-style result writer (:439-450),
+metric CSV writers (:452-486).
+
+TPU shape: the scoring loop is a single jitted apply per fixed-shape batch;
+tokenized batches are cached host-side across validations (the expensive part
+the reference caches is tokenization+collation too).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from matchmaker_tpu.data.loaders import reranking_inference_loader
+from matchmaker_tpu.metrics import (
+    calculate_metrics_along_candidate_depth,
+    calculate_metrics_plain,
+    unrolled_to_ranked_result,
+)
+from matchmaker_tpu.obs.perf_monitor import PerformanceMonitor
+
+# in-process cache: path -> list of (batch, qids, dids); reference eval.py:59-74
+_batch_cache: Dict[str, List] = {}
+
+
+def evaluate_model(
+    eval_step: Callable,
+    params,
+    config,
+    tokenizer,
+    tuples_path: str,
+    use_cache: bool = False,
+    output_secondary: bool = False,
+) -> Tuple[Dict[str, List[Tuple[str, float]]], Optional[dict]]:
+    """Score all (query, doc) tuples; returns {qid: [(did, score)]}."""
+    perf = PerformanceMonitor.get()
+    secondary_store: Dict[str, dict] = {} if output_secondary else None
+
+    if use_cache and tuples_path in _batch_cache:
+        batches = _batch_cache[tuples_path]
+    else:
+        batches = reranking_inference_loader(config, tokenizer, tuples_path)
+        if use_cache:
+            batches = list(batches)
+            _batch_cache[tuples_path] = batches
+
+    results: Dict[str, List[Tuple[str, float]]] = {}
+    n = 0
+    perf.start_block("eval")
+    for batch, qids, dids in batches:
+        out = eval_step(params, batch, output_secondary)
+        scores = np.asarray(out["score"])
+        for i, (qid, did) in enumerate(zip(qids, dids)):
+            results.setdefault(qid, []).append((did, float(scores[i])))
+            n += 1
+        if output_secondary and "secondary" in out:
+            sec = {k: np.asarray(v) for k, v in out["secondary"].items()}
+            for i, (qid, did) in enumerate(zip(qids, dids)):
+                secondary_store[f"{qid}<->{did}"] = {k: v[i] for k, v in sec.items()}
+    perf.stop_block("eval", n)
+    return results, secondary_store
+
+
+def validate_model(
+    kind: str,  # "cont" | "end" | "test"
+    eval_step,
+    params,
+    config,
+    tokenizer,
+    run_folder: str,
+    validation_config: dict,
+    epoch: int = -1,
+    batch_number: int = -1,
+    use_cache: bool = True,
+) -> Tuple[Dict[str, float], float, Dict[str, List[str]]]:
+    """Score + metric battery + CSV bookkeeping. Returns
+    (metrics, best-metric-value, ranked results)."""
+    from matchmaker_tpu.metrics import load_qrels
+
+    results, _ = evaluate_model(
+        eval_step, params, config, tokenizer, validation_config["tsv"], use_cache=use_cache
+    )
+    ranked = unrolled_to_ranked_result(results)
+    qrels = load_qrels(validation_config["qrels"])
+    binarization = validation_config.get("binarization_point", 1.0)
+    metric_name = config.get("validation_metric", "MRR@10")
+
+    candidate_set_path = validation_config.get("candidate_set_path")
+    if candidate_set_path and validation_config.get("candidate_set_from_to"):
+        from matchmaker_tpu.experiment import parse_candidate_set
+
+        lo, hi = validation_config["candidate_set_from_to"]
+        candidates = parse_candidate_set(candidate_set_path, hi)
+        sweep = calculate_metrics_along_candidate_depth(
+            ranked, qrels, candidates, (lo, hi), binarization
+        )
+        best_depth = max(sweep, key=lambda d: sweep[d][metric_name])
+        metrics = sweep[best_depth]
+        metrics["cs@n"] = best_depth
+        _write_metrics_sweep_csvs(run_folder, kind, sweep, epoch, batch_number)
+    else:
+        metrics = calculate_metrics_plain(ranked, qrels, binarization)
+        metrics["cs@n"] = "-"
+
+    _append_metrics_csv(
+        os.path.join(run_folder, f"validation-metrics-{kind}.csv"), metrics, epoch, batch_number
+    )
+    return metrics, float(metrics[metric_name]), ranked
+
+
+def test_model(
+    eval_step, params, config, tokenizer, run_folder: str, test_name: str, test_config: dict
+) -> Dict[str, float]:
+    """End-of-training test evaluation; writes ranked output + metrics csv
+    (reference eval.py:379-413)."""
+    results, _ = evaluate_model(
+        eval_step, params, config, tokenizer, test_config["tsv"], use_cache=False
+    )
+    ranked = unrolled_to_ranked_result(results)
+    save_sorted_results(results, os.path.join(run_folder, f"{test_name}-output.txt"))
+    metrics: Dict[str, float] = {}
+    if test_config.get("qrels"):
+        from matchmaker_tpu.metrics import load_qrels
+
+        qrels = load_qrels(test_config["qrels"])
+        metrics = calculate_metrics_plain(
+            ranked, qrels, test_config.get("binarization_point", 1.0)
+        )
+        _append_metrics_csv(
+            os.path.join(run_folder, f"{test_name}-metrics.csv"), metrics, -1, -1
+        )
+    return metrics
+
+
+def save_sorted_results(
+    results: Dict[str, List[Tuple[str, float]]], path: str, until_rank: int = -1
+) -> None:
+    """4-col TREC-ish output: qid did rank score (reference eval.py:439-450)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for qid, pairs in results.items():
+            for rank, (did, score) in enumerate(
+                sorted(pairs, key=lambda p: p[1], reverse=True), start=1
+            ):
+                f.write(f"{qid} {did} {rank} {score}\n")
+                if until_rank > -1 and rank == until_rank:
+                    break
+
+
+def save_secondary_output(secondary: Dict[str, dict], path: str) -> None:
+    """Interpretability dumps as compressed npz (reference eval.py:415-428)."""
+    flat = {}
+    for pair_key, tensors in secondary.items():
+        for name, arr in tensors.items():
+            flat[f"{pair_key}::{name}"] = arr
+    np.savez_compressed(path, **flat)
+
+
+def _append_metrics_csv(path: str, metrics: Dict[str, float], epoch: int, batch_number: int) -> None:
+    exists = os.path.exists(path)
+    with open(path, "a", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        keys = sorted(metrics.keys())
+        if not exists:
+            w.writerow(["time", "epoch", "batch_number"] + keys)
+        w.writerow([time.strftime("%Y-%m-%d %H:%M:%S"), epoch, batch_number] + [metrics[k] for k in keys])
+
+
+def _write_metrics_sweep_csvs(run_folder: str, kind: str, sweep: Dict[int, dict], epoch, batch_number):
+    for depth, metrics in sweep.items():
+        _append_metrics_csv(
+            os.path.join(run_folder, f"validation-metrics-{kind}-cs_{depth}.csv"),
+            metrics,
+            epoch,
+            batch_number,
+        )

@@ -1,0 +1,92 @@
+"""Model factory.
+
+Contract: reference models/all.py:47-208 — ``get_model(config, ...)`` maps the
+``model`` config name (including ``maxP->``/``meanP->`` adapter prefixes) to a
+model instance; ``get_word_embedder`` resolves the embedding source for
+GloVe-era models. Here the factory returns an un-initialized Flax module plus
+an example batch for shape-driven init.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from matchmaker_tpu.config import model_base_name
+from matchmaker_tpu.models.base import Ranker
+from matchmaker_tpu.models.knrm import KNRM
+from matchmaker_tpu.models.tk import TK
+
+_REGISTRY = {}
+
+
+def register_model(name: str, cls) -> None:
+    _REGISTRY[name] = cls
+
+
+register_model("knrm", KNRM)
+register_model("tk", TK)
+
+
+def load_glove_embeddings(path: str, vocab, dim: int) -> np.ndarray:
+    """Text-format embedding file (``token v1 v2 ...``) → (vocab, dim) matrix.
+    Unseen tokens get small random vectors; PAD row stays zero."""
+    rng = np.random.default_rng(42)
+    mat = rng.normal(0.0, 0.1, size=(len(vocab), dim)).astype(np.float32)
+    mat[0] = 0.0
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) != dim + 1:
+                continue
+            tok = parts[0]
+            if tok in vocab.token_to_id:
+                mat[vocab.token_to_id[tok]] = np.asarray(parts[1:], dtype=np.float32)
+    return mat
+
+
+def get_model(config, tokenizer) -> Ranker:
+    """Build the model module named by ``config['model']``."""
+    name = model_base_name(config["model"])
+    wrapper = config["model"].split("->")[0].strip().lower() if "->" in config["model"] else None
+
+    cfg = dict(config)
+    cfg["_vocab_size"] = tokenizer.vocab_size
+
+    pretrained = None
+    if config.get("token_embedder_type") == "embedding" and config.get("pre_trained_embedding"):
+        pretrained = load_glove_embeddings(
+            config["pre_trained_embedding"],
+            tokenizer.vocab,
+            config.get("token_embedding_size", 300),
+        )
+
+    if name not in _REGISTRY:
+        raise ValueError(f"Model not known: {config['model']}")
+    inner = _REGISTRY[name].from_config(cfg, pretrained)
+
+    if wrapper in ("maxp", "meanp"):
+        from matchmaker_tpu.models.adapters import ChunkPoolAdapter
+
+        inner = ChunkPoolAdapter.from_config(cfg, inner, pool=wrapper[:-1])
+    return inner
+
+
+def example_batch(config, batch_size: int = 2) -> Dict[str, np.ndarray]:
+    """Zero batch with the right keys/shapes for module init."""
+    max_q = config.get("max_query_length", 30)
+    max_d = config.get("max_doc_length", 200)
+    if config.get("model_input_type") == "concatenated":
+        length = max_q + max_d
+        return {
+            "seq_ids": np.zeros((batch_size, length), np.int32),
+            "seq_mask": np.ones((batch_size, length), np.float32),
+            "seq_type_ids": np.zeros((batch_size, length), np.int32),
+        }
+    return {
+        "query_ids": np.zeros((batch_size, max_q), np.int32),
+        "query_mask": np.ones((batch_size, max_q), np.float32),
+        "doc_ids": np.zeros((batch_size, max_d), np.int32),
+        "doc_mask": np.ones((batch_size, max_d), np.float32),
+    }

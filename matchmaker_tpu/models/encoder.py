@@ -1,0 +1,150 @@
+"""From-scratch Flax transformer encoder (BERT/DistilBERT-compatible layout).
+
+This replaces the reference's dependency on HF ``transformers.AutoModel``
+(models/bert_cat.py:30-40, bert_dot.py:28-40, colbert.py:30-43): the encoder
+itself is first-party so the whole forward is one XLA program with a bf16
+compute policy on the MXU, and HF checkpoints are imported by converting
+weights into this module's param tree (models/hf_import.py).
+
+Architecture (post-norm, matching bert-base/distilbert):
+  embeddings: word + learned position (+ token type when type_vocab_size > 0)
+  → LayerNorm → L× [self-attention → add&LN → GELU MLP → add&LN]
+
+``compute_dtype=bfloat16`` keeps params in f32 and casts activations — the
+TPU replacement for torch.cuda.amp autocast (reference train.py:251).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 6  # distilbert default
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 0  # 2 for bert, 0 for distilbert
+    layer_norm_eps: float = 1e-12
+    dropout: float = 0.1
+
+    @classmethod
+    def distilbert(cls, **kw):
+        return cls(**{**dict(num_layers=6, type_vocab_size=0), **kw})
+
+    @classmethod
+    def bert_base(cls, **kw):
+        return cls(**{**dict(num_layers=12, type_vocab_size=2), **kw})
+
+    @classmethod
+    def tiny(cls, **kw):
+        """Small config for tests."""
+        defaults = dict(
+            vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position_embeddings=128,
+        )
+        return cls(**{**defaults, **kw})
+
+
+class EncoderLayer(nn.Module):
+    cfg: EncoderConfig
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic=True):
+        cfg = self.cfg
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            qkv_features=cfg.hidden_size,
+            out_features=cfg.hidden_size,
+            dropout_rate=cfg.dropout,
+            deterministic=deterministic,
+            dtype=self.compute_dtype,
+            name="attention",
+        )(x, x, x, mask=attn_mask)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_norm")(x + h)
+        h = nn.Dense(cfg.intermediate_size, dtype=self.compute_dtype, name="mlp_in")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="mlp_out")(h)
+        h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="mlp_norm")(x + h)
+
+
+class TransformerEncoderLM(nn.Module):
+    cfg: EncoderConfig
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        ids: jnp.ndarray,
+        mask: jnp.ndarray,
+        type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        num_layers: Optional[int] = None,
+        skip_position: bool = False,
+        position_offset: int = 0,
+    ) -> jnp.ndarray:
+        """Returns final hidden states (B, L, H).
+
+        ``num_layers`` runs only the first N layers (PreTTR's split encoder);
+        ``position_offset`` shifts position ids (PreTTR doc-tower offset,
+        reference prettr.py:68-112); ``skip_position`` drops position
+        embeddings entirely (reference modules/bert_parts.py:5).
+        """
+        cfg = self.cfg
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings")(ids)
+        if not skip_position:
+            positions = jnp.arange(ids.shape[1])[None, :] + position_offset
+            x = x + nn.Embed(
+                cfg.max_position_embeddings, cfg.hidden_size, name="position_embeddings"
+            )(positions)
+        if cfg.type_vocab_size > 0:
+            if type_ids is None:
+                type_ids = jnp.zeros_like(ids)
+            x = x + nn.Embed(cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings")(type_ids)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(x)
+        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+
+        attn_mask = (mask > 0)[:, None, None, :]
+        n = num_layers if num_layers is not None else cfg.num_layers
+        x = x.astype(self.compute_dtype)
+        for i in range(n):
+            x = EncoderLayer(cfg, self.compute_dtype, name=f"layer_{i}")(x, attn_mask, deterministic)
+        return x.astype(jnp.float32)
+
+    def encode_layers(self, x, mask, start: int, end: int, deterministic: bool = True):
+        """Run layers [start, end) on already-embedded inputs (PreTTR join)."""
+        attn_mask = (mask > 0)[:, None, None, :]
+        x = x.astype(self.compute_dtype)
+        for i in range(start, end):
+            x = EncoderLayer(self.cfg, self.compute_dtype, name=f"layer_{i}")(x, attn_mask, deterministic)
+        return x.astype(jnp.float32)
+
+
+def encoder_config_from_model_name(config) -> EncoderConfig:
+    """Resolve the encoder size from the ``bert_pretrained_model`` config key.
+
+    When a local HF checkpoint directory is given, its config.json wins
+    (hf_import.load_hf_encoder_config); otherwise name heuristics pick the
+    architecture family and weights start random.
+    """
+    name = str(config.get("bert_pretrained_model", "distilbert-base-uncased"))
+    import os
+
+    if os.path.isdir(name):
+        from matchmaker_tpu.models.hf_import import load_hf_encoder_config
+
+        return load_hf_encoder_config(name)
+    if "tiny" in name:
+        return EncoderConfig.tiny()
+    if "distilbert" in name:
+        return EncoderConfig.distilbert()
+    return EncoderConfig.bert_base()

@@ -1,0 +1,1 @@
+from matchmaker_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding, shard_params

@@ -1,0 +1,68 @@
+"""Checkpointing.
+
+The reference stores plain ``state_dict`` files with best-checkpoint rotation
+(train.py:631-651) and no optimizer-state resume (SURVEY.md §5.4). Here:
+msgpack param files for best-model snapshots + hub-style warmstart, and an
+orbax-backed full train state (params + optimizer + step) for true mid-run
+resume — sharded-array aware, so it works identically under a multi-chip mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import flax.serialization
+import jax
+
+
+def save_params(path: str, params) -> None:
+    params = jax.device_get(params)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+
+
+def load_params(path: str, template) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def rotate_best(run_folder: str, n_best: int) -> None:
+    """best-model.flax → best-model-2.flax → ... (reference train.py:637-647)."""
+    if n_best <= 1:
+        return
+    for i in range(n_best - 1, 0, -1):
+        src = os.path.join(run_folder, f"best-model-{i}.flax" if i > 1 else "best-model.flax")
+        dst = os.path.join(run_folder, f"best-model-{i + 1}.flax")
+        if os.path.exists(src):
+            os.replace(src, dst)
+
+
+class TrainStateCheckpointer:
+    """Full train-state (params+opt+step) checkpoints via orbax."""
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.checkpointer = ocp.StandardCheckpointer()
+
+    def save(self, step: int, state) -> None:
+        path = os.path.join(self.directory, f"step_{step}")
+        self.checkpointer.save(path, state, force=True)
+
+    def restore(self, step: int, template) -> Any:
+        path = os.path.join(self.directory, f"step_{step}")
+        return self.checkpointer.restore(path, target=template)
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for name in os.listdir(self.directory):
+            if name.startswith("step_"):
+                try:
+                    steps.append(int(name.split("_")[1]))
+                except ValueError:
+                    pass
+        return max(steps) if steps else None

@@ -1,0 +1,126 @@
+"""The jitted training step.
+
+The reference's hot loop does two model forwards + loss + AMP backward per
+batch (train.py:319-543). Here the *entire* step — pos forward, neg forward,
+ranking loss, optional in-batch-negative loss, backward, clip, optimizer
+update — is one XLA program, jit-compiled over a device mesh: batches arrive
+sharded over the ``data`` axis, params are replicated, and XLA inserts the
+gradient all-reduce over ICI.
+
+In-batch negatives: per-shard query/doc vectors are combined into a full
+B_global × B_global score matrix (the reference does this outside forward to
+force a DataParallel gather, train.py:431-472; with GSPMD the same einsum
+induces the all-gather automatically).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from matchmaker_tpu.losses import LossBundle
+
+
+def split_triple_batch(batch: Dict[str, jnp.ndarray]) -> Tuple[Dict, Dict]:
+    """Triple batch → (pos scoring batch, neg scoring batch)."""
+    if "pos_ids" in batch:  # concatenated input
+        pos = {"seq_ids": batch["pos_ids"], "seq_mask": batch["pos_mask"], "seq_type_ids": batch["pos_type_ids"]}
+        neg = {"seq_ids": batch["neg_ids"], "seq_mask": batch["neg_mask"], "seq_type_ids": batch["neg_type_ids"]}
+    else:
+        pos = {
+            "query_ids": batch["query_ids"], "query_mask": batch["query_mask"],
+            "doc_ids": batch["doc_pos_ids"], "doc_mask": batch["doc_pos_mask"],
+        }
+        neg = {
+            "query_ids": batch["query_ids"], "query_mask": batch["query_mask"],
+            "doc_ids": batch["doc_neg_ids"], "doc_mask": batch["doc_neg_mask"],
+        }
+    return pos, neg
+
+
+def make_loss_fn(model, losses: LossBundle, config):
+    sparsity_weight = config.get("minimize_sparsity_weight", 0.0)
+    ib_main_weight = config.get("in_batch_main_weight", 1.0)
+    ib_weight = config.get("in_batch_neg_weight", 1.0)
+
+    def loss_fn(params, batch):
+        pos_batch, neg_batch = split_triple_batch(batch)
+        valid = batch.get("valid")
+        pos_out = model.apply({"params": params}, pos_batch)
+        neg_out = model.apply({"params": params}, neg_batch)
+        pos_score, neg_score = pos_out["score"], neg_out["score"]
+        t_pos = batch.get("pos_score", jnp.zeros_like(pos_score))
+        t_neg = batch.get("neg_score", jnp.zeros_like(neg_score))
+
+        if losses.use_list_loss:
+            scores = jnp.stack([pos_score, neg_score], axis=1)
+            labels = jnp.stack([jnp.ones_like(pos_score), jnp.zeros_like(neg_score)], axis=1)
+            loss = losses.ranking_loss(scores, labels, valid[:, None] * jnp.ones_like(scores))
+        else:
+            loss = losses.ranking_loss(pos_score, neg_score, t_pos, t_neg, valid)
+        stats = {"ranking_loss": loss}
+
+        if losses.inbatch_loss is not None and "query_vecs" in pos_out:
+            q = pos_out["query_vecs"]  # (B, D)
+            d_all = jnp.concatenate([pos_out["doc_vecs"], neg_out["doc_vecs"]], axis=0)  # (2B, D)
+            ib_scores = jnp.einsum("bd,nd->bn", q, d_all, preferred_element_type=jnp.float32)
+            b = q.shape[0]
+            t_pos_col = batch.get("dyn_pos_matrix")
+            if losses.use_inbatch_list_loss:
+                teacher = batch.get(
+                    "dyn_teacher_matrix",
+                    jnp.concatenate([jnp.eye(b) * 1.0, jnp.zeros((b, b))], axis=1),
+                )
+                ib_loss = losses.inbatch_loss(ib_scores, teacher, valid[:, None] * jnp.ones_like(ib_scores))
+            else:
+                # pairwise in-batch: positive = diagonal, negatives = everything else
+                pos_diag = jnp.diagonal(ib_scores[:, :b])
+                mask = 1.0 - jnp.eye(b)
+                neg_max = jnp.max(ib_scores[:, :b] * mask + ib_scores[:, b:], axis=1)
+                ib_loss = losses.inbatch_loss(pos_diag, neg_max, t_pos, t_neg, valid)
+            stats["inbatch_loss"] = ib_loss
+            loss = ib_main_weight * loss + ib_weight * ib_loss
+
+        if sparsity_weight > 0.0 and "sparsity" in pos_out:
+            sp = (
+                jnp.abs(pos_out["sparsity"]).mean()
+                + jnp.abs(neg_out["sparsity"]).mean()
+            ) / 2.0
+            stats["sparsity_loss"] = sp
+            loss = loss + sparsity_weight * sp
+
+        stats["loss"] = loss
+        stats["score_pos_mean"] = (pos_score * valid).sum() / jnp.maximum(valid.sum(), 1)
+        stats["score_neg_mean"] = (neg_score * valid).sum() / jnp.maximum(valid.sum(), 1)
+        return loss, stats
+
+    return loss_fn
+
+
+def make_train_step(model, losses: LossBundle, tx: optax.GradientTransformation, config):
+    """Returns jitted ``step(params, opt_state, batch) -> (params, opt_state, stats)``."""
+    loss_fn = make_loss_fn(model, losses, config)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        stats["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_opt_state, stats
+
+    return step
+
+
+def make_eval_step(model):
+    """Jitted scoring step for re-ranking evaluation."""
+
+    @partial(jax.jit, static_argnames=("output_secondary",))
+    def step(params, batch, output_secondary: bool = False):
+        return model.apply({"params": params}, batch, output_secondary)
+
+    return step

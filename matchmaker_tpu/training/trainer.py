@@ -1,0 +1,183 @@
+"""The training driver.
+
+Contract: reference train.py — config-driven build, epoch loop over the triple
+loader, continuous validation every ``validate_every_n_batches`` with best-
+checkpoint saving + rotation, early stopping, loss CSV every 100 steps, end
+validation / test / leaderboard passes (train.py:258-763).
+
+TPU differences: the step is one jitted XLA program over a data-sharded mesh
+(no DataParallel, no AMP GradScaler — bf16 is a dtype policy, grads are always
+f32); batches prefetch host→HBM in a background thread; checkpoints are flax
+msgpack + orbax train state.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from matchmaker_tpu.data.loaders import device_prefetch, triple_training_loader
+from matchmaker_tpu.data.tokenization import build_tokenizer
+from matchmaker_tpu.evaluation import save_sorted_results, test_model, validate_model
+from matchmaker_tpu.experiment import EarlyStopping, save_best_info
+from matchmaker_tpu.losses import get_loss
+from matchmaker_tpu.models import example_batch, get_model
+from matchmaker_tpu.obs.perf_monitor import PerformanceMonitor
+from matchmaker_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from matchmaker_tpu.training.checkpoints import load_params, rotate_best, save_params
+from matchmaker_tpu.training.optim import build_optimizer
+from matchmaker_tpu.training.train_step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, config, run_folder: str):
+        self.config = config
+        self.run_folder = run_folder
+        self.perf = PerformanceMonitor.get()
+
+        self.tokenizer = build_tokenizer(config)
+        self.model = get_model(config, self.tokenizer)
+
+        self.mesh = make_mesh()
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        rng = jax.random.PRNGKey(config.get("random_seed", 42))
+        init_batch = example_batch(config)
+        variables = self.model.init(rng, init_batch)
+        self.params = shard_params(variables["params"], self.mesh)
+
+        warmstart = config.get("warmstart_model_path")
+        if warmstart:
+            self.params = load_params(warmstart, self.params)
+
+        self.tx = build_optimizer(config, self.params)
+        self.opt_state = self.tx.init(self.params)
+
+        self.losses = get_loss(config)
+        self.train_step = make_train_step(self.model, self.losses, self.tx, config)
+        self.eval_step = make_eval_step(self.model)
+
+        self.early_stopping = EarlyStopping(
+            patience=config.get("early_stopping_patience", 30), mode="max"
+        )
+        self.best_metric = -math.inf
+        self.global_step = 0
+        self._loss_csv = os.path.join(run_folder, "training-loss.csv")
+
+    # ------------------------------------------------------------------
+    def _log_loss(self, epoch: int, stats: Dict) -> None:
+        exists = os.path.exists(self._loss_csv)
+        host_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+        with open(self._loss_csv, "a", newline="", encoding="utf-8") as f:
+            w = csv.writer(f)
+            keys = sorted(host_stats)
+            if not exists:
+                w.writerow(["epoch", "step"] + keys)
+            w.writerow([epoch, self.global_step] + [host_stats[k] for k in keys])
+
+    def _validate(self, epoch: int) -> bool:
+        """Continuous validation; returns True if training should stop."""
+        vcfg = self.config.get("validation_cont")
+        if not vcfg:
+            return False
+        metrics, metric_value, _ = validate_model(
+            "cont",
+            self.eval_step,
+            self.params,
+            self.config,
+            self.tokenizer,
+            self.run_folder,
+            vcfg,
+            epoch,
+            self.global_step,
+            use_cache=self.config.get("validation_cont_use_cache", True),
+        )
+        if metric_value > self.best_metric:
+            self.best_metric = metric_value
+            rotate_best(self.run_folder, self.config.get("store_n_best_checkpoints", 1))
+            save_params(os.path.join(self.run_folder, "best-model.flax"), self.params)
+            save_best_info(
+                self.run_folder,
+                self.config.get("validation_metric", "MRR@10"),
+                metric_value,
+                epoch,
+                self.global_step,
+            )
+        min_steps = self.config.get("min_steps_training", -1)
+        stop = self.early_stopping.step(metric_value)
+        if stop and min_steps > 0 and self.global_step < min_steps:
+            return False
+        return stop
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        config = self.config
+        validate_every = config.get("validate_every_n_batches", 4000)
+        epochs = config.get("epochs", 1)
+        stopped = False
+
+        self.perf.start_block("train")
+        for epoch in range(epochs):
+            if stopped:
+                break
+            loader = triple_training_loader(config, self.tokenizer, config["train_tsv"])
+            for batch in device_prefetch(loader, sharding=self.batch_sharding):
+                self.params, self.opt_state, stats = self.train_step(
+                    self.params, self.opt_state, batch
+                )
+                self.global_step += 1
+                if self.global_step % 100 == 0:
+                    self._log_loss(epoch, stats)
+                if validate_every > 0 and self.global_step % validate_every == 0:
+                    if self._validate(epoch):
+                        stopped = True
+                        break
+            else:
+                # end-of-epoch validation keeps short epochs honest
+                stopped = self._validate(epoch) or stopped
+        self.perf.stop_block("train", self.global_step)
+
+        # reload best checkpoint for final evals (reference train.py:694-717)
+        best_path = os.path.join(self.run_folder, "best-model.flax")
+        if os.path.exists(best_path):
+            self.params = load_params(best_path, self.params)
+        else:
+            save_params(best_path, self.params)
+
+        self.final_evaluations()
+        self.perf.save_summary(os.path.join(self.run_folder, "efficiency-metrics.json"))
+        self.perf.print_summary()
+
+    # ------------------------------------------------------------------
+    def final_evaluations(self) -> None:
+        config = self.config
+        for section, kind in (("validation_end", "end"), ("test", "test")):
+            entries = config.get(section) or {}
+            for name, entry in entries.items():
+                metrics = test_model(
+                    self.eval_step,
+                    self.params,
+                    config,
+                    self.tokenizer,
+                    self.run_folder,
+                    f"{kind}-{name}",
+                    entry,
+                )
+                if metrics:
+                    headline = config.get("validation_metric", "MRR@10")
+                    print(f"[{kind}:{name}] {headline}={metrics.get(headline, float('nan')):.4f}")
+        for name, entry in (config.get("leaderboard") or {}).items():
+            from matchmaker_tpu.evaluation import evaluate_model
+
+            results, _ = evaluate_model(
+                self.eval_step, self.params, config, self.tokenizer, entry["tsv"]
+            )
+            save_sorted_results(
+                results, os.path.join(self.run_folder, f"leaderboard-{name}-output.txt")
+            )

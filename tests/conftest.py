@@ -7,10 +7,17 @@ suite runs anywhere. Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the axon (TPU tunnel) PJRT plugin registers itself from sitecustomize and
+# pins the platform via jax.config, overriding JAX_PLATFORMS — force it back
+# to CPU before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
