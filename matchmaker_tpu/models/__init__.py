@@ -29,6 +29,20 @@ register_model("knrm", KNRM)
 register_model("tk", TK)
 
 
+def _register_transformer_models():
+    from matchmaker_tpu.models.bert_cat import BertCat
+    from matchmaker_tpu.models.bert_dot import BertDot, BertDotDualEncoder
+    from matchmaker_tpu.models.colbert import ColBert
+
+    register_model("bert_cat", BertCat)
+    register_model("bert_dot", BertDot)
+    register_model("bert_dot_dualencoder", BertDotDualEncoder)
+    register_model("colbert", ColBert)
+
+
+_register_transformer_models()
+
+
 def load_glove_embeddings(path: str, vocab, dim: int) -> np.ndarray:
     """Text-format embedding file (``token v1 v2 ...``) → (vocab, dim) matrix.
     Unseen tokens get small random vectors; PAD row stays zero."""
@@ -71,6 +85,27 @@ def get_model(config, tokenizer) -> Ranker:
 
         inner = ChunkPoolAdapter.from_config(cfg, inner, pool=wrapper[:-1])
     return inner
+
+
+def init_params(model, config, rng):
+    """Init module params; if the configured HF checkpoint is locally
+    available, replace every ``TransformerEncoderLM`` subtree with converted
+    pre-trained weights (reference warmstart semantics, models/bert_*.py)."""
+    variables = model.init(rng, example_batch(config))
+    params = variables["params"]
+    name = str(config.get("bert_pretrained_model", ""))
+    if config.get("token_embedder_type") != "embedding" and name:
+        from matchmaker_tpu.models.hf_import import encoder_checkpoint_available, load_hf_encoder
+
+        if encoder_checkpoint_available(name):
+            _, enc_params = load_hf_encoder(name)
+            import jax
+
+            enc_params = jax.tree_util.tree_map(np.asarray, enc_params)
+            for key in list(params.keys()):
+                if key in ("encoder", "query_encoder", "doc_encoder"):
+                    params[key] = enc_params
+    return params
 
 
 def example_batch(config, batch_size: int = 2) -> Dict[str, np.ndarray]:

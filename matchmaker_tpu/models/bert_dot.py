@@ -1,0 +1,98 @@
+"""BERT_DOT — dense bi-encoder (the flagship dense-retrieval model).
+
+Behavior contract: reference models/bert_dot.py:51-90 — independent query/doc
+encoder passes, CLS vector (optionally linearly compressed), dot-product
+score; during training returns the vectors so the in-batch-negative loss can
+operate on the full (all-gathered) batch. Dual-encoder variant keeps separate
+towers (reference models/bert_dot_dualencoder.py:9).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from matchmaker_tpu.models.base import Batch, Output, Ranker
+from matchmaker_tpu.models.encoder import EncoderConfig, TransformerEncoderLM, encoder_config_from_model_name
+
+
+class BertDot(Ranker):
+    encoder_cfg: EncoderConfig
+    compress_dim: int = -1  # -1 = no compression layer
+    return_vecs: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def from_config(cls, config, pretrained=None):
+        return cls(
+            encoder_cfg=encoder_config_from_model_name(config),
+            compress_dim=config.get("bert_dot_compress_dim", -1),
+            return_vecs=config.get("in_batch_negatives", False) or config.get("_always_return_vecs", False),
+            compute_dtype=jnp.bfloat16 if config.get("use_fp16", True) else jnp.float32,
+        )
+
+    def setup(self):
+        self.encoder = TransformerEncoderLM(self.encoder_cfg, self.compute_dtype, name="encoder")
+        if self.compress_dim > -1:
+            self.compressor = nn.Dense(self.compress_dim, name="compressor")
+
+    def encode(self, ids: jnp.ndarray, mask: jnp.ndarray, sequence_type: str = "doc") -> jnp.ndarray:
+        vec = self.encoder(ids, mask)[:, 0, :]
+        if self.compress_dim > -1:
+            vec = self.compressor(vec)
+        return vec
+
+    def __call__(self, batch: Batch, output_secondary: bool = False) -> Output:
+        q_vecs = self.encode(batch["query_ids"], batch["query_mask"], "query")
+        d_vecs = self.encode(batch["doc_ids"], batch["doc_mask"], "doc")
+        score = jnp.einsum("bd,bd->b", q_vecs, d_vecs, preferred_element_type=jnp.float32)
+        out: Output = {"score": score}
+        if self.return_vecs:
+            out["query_vecs"] = q_vecs
+            out["doc_vecs"] = d_vecs
+        if output_secondary:
+            out["secondary"] = {}
+        return out
+
+
+class BertDotDualEncoder(Ranker):
+    """DPR-style: separate query and document encoder towers."""
+
+    encoder_cfg: EncoderConfig
+    compress_dim: int = -1
+    return_vecs: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def from_config(cls, config, pretrained=None):
+        return cls(
+            encoder_cfg=encoder_config_from_model_name(config),
+            compress_dim=config.get("bert_dot_compress_dim", -1),
+            return_vecs=config.get("in_batch_negatives", False),
+            compute_dtype=jnp.bfloat16 if config.get("use_fp16", True) else jnp.float32,
+        )
+
+    def setup(self):
+        self.query_encoder = TransformerEncoderLM(self.encoder_cfg, self.compute_dtype, name="query_encoder")
+        self.doc_encoder = TransformerEncoderLM(self.encoder_cfg, self.compute_dtype, name="doc_encoder")
+        if self.compress_dim > -1:
+            self.compressor = nn.Dense(self.compress_dim, name="compressor")
+
+    def encode(self, ids: jnp.ndarray, mask: jnp.ndarray, sequence_type: str = "doc") -> jnp.ndarray:
+        tower = self.query_encoder if sequence_type == "query" else self.doc_encoder
+        vec = tower(ids, mask)[:, 0, :]
+        if self.compress_dim > -1:
+            vec = self.compressor(vec)
+        return vec
+
+    def __call__(self, batch: Batch, output_secondary: bool = False) -> Output:
+        q_vecs = self.encode(batch["query_ids"], batch["query_mask"], "query")
+        d_vecs = self.encode(batch["doc_ids"], batch["doc_mask"], "doc")
+        score = jnp.einsum("bd,bd->b", q_vecs, d_vecs, preferred_element_type=jnp.float32)
+        out: Output = {"score": score}
+        if self.return_vecs:
+            out["query_vecs"] = q_vecs
+            out["doc_vecs"] = d_vecs
+        if output_secondary:
+            out["secondary"] = {}
+        return out

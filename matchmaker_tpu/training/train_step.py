@@ -65,9 +65,17 @@ def make_loss_fn(model, losses: LossBundle, config):
         stats = {"ranking_loss": loss}
 
         if losses.inbatch_loss is not None and "query_vecs" in pos_out:
-            q = pos_out["query_vecs"]  # (B, D)
-            d_all = jnp.concatenate([pos_out["doc_vecs"], neg_out["doc_vecs"]], axis=0)  # (2B, D)
-            ib_scores = jnp.einsum("bd,nd->bn", q, d_all, preferred_element_type=jnp.float32)
+            q = pos_out["query_vecs"]  # (B, D) single-vector / (B, Lq, D) ColBERT
+            d_all = jnp.concatenate([pos_out["doc_vecs"], neg_out["doc_vecs"]], axis=0)
+            if q.ndim == 3:
+                from matchmaker_tpu.ops.maxsim import maxsim_all_pairs
+
+                d_mask_all = jnp.concatenate(
+                    [pos_out["doc_vecs_mask"], neg_out["doc_vecs_mask"]], axis=0
+                )
+                ib_scores = maxsim_all_pairs(q, d_all, pos_out["query_vecs_mask"], d_mask_all)
+            else:
+                ib_scores = jnp.einsum("bd,nd->bn", q, d_all, preferred_element_type=jnp.float32)
             b = q.shape[0]
             t_pos_col = batch.get("dyn_pos_matrix")
             if losses.use_inbatch_list_loss:
@@ -77,10 +85,11 @@ def make_loss_fn(model, losses: LossBundle, config):
                 )
                 ib_loss = losses.inbatch_loss(ib_scores, teacher, valid[:, None] * jnp.ones_like(ib_scores))
             else:
-                # pairwise in-batch: positive = diagonal, negatives = everything else
+                # pairwise in-batch: positive = diagonal; hardest negative over
+                # the off-diagonal in-batch docs and the explicit negatives
                 pos_diag = jnp.diagonal(ib_scores[:, :b])
-                mask = 1.0 - jnp.eye(b)
-                neg_max = jnp.max(ib_scores[:, :b] * mask + ib_scores[:, b:], axis=1)
+                off_diag = jnp.where(jnp.eye(b, dtype=bool), -jnp.inf, ib_scores[:, :b])
+                neg_max = jnp.maximum(off_diag.max(axis=1), ib_scores[:, b:].max(axis=1))
                 ib_loss = losses.inbatch_loss(pos_diag, neg_max, t_pos, t_neg, valid)
             stats["inbatch_loss"] = ib_loss
             loss = ib_main_weight * loss + ib_weight * ib_loss

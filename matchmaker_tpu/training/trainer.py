@@ -48,9 +48,9 @@ class Trainer:
         self.batch_sharding = batch_sharding(self.mesh)
 
         rng = jax.random.PRNGKey(config.get("random_seed", 42))
-        init_batch = example_batch(config)
-        variables = self.model.init(rng, init_batch)
-        self.params = shard_params(variables["params"], self.mesh)
+        from matchmaker_tpu.models import init_params
+
+        self.params = shard_params(init_params(self.model, config, rng), self.mesh)
 
         warmstart = config.get("warmstart_model_path")
         if warmstart:
