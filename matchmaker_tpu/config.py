@@ -134,15 +134,17 @@ def auto_fill(config: Dict[str, Any]) -> Dict[str, Any]:
     name = model_base_name(str(config.get("model", "")))
     wrapper = str(config.get("model", "")).split("->")[0].strip().lower() if "->" in str(config.get("model", "")) else ""
 
+    # matches reference _auto_config_info (utils/config.py:56-67): only
+    # bert_cat/bert_cls consume one concatenated sequence; everything else —
+    # including the chunking models (IDCM/PreTTR/maxP/parade), which split
+    # documents internally — reads independent query/doc sequences.
     if config.get("model_input_type", "auto") == "auto":
-        if name in _EMBEDDING_MODELS:
-            config["model_input_type"] = "independent"
-        elif name.startswith("bert_dot") or name in ("colbert",):
-            config["model_input_type"] = "independent"
-        elif name.startswith(_CONCATENATED_MODELS) or wrapper in ("maxp", "meanp"):
+        if name in ("bert_cat", "bert_cls") and wrapper not in ("maxp", "meanp"):
             config["model_input_type"] = "concatenated"
         else:
-            config["model_input_type"] = "concatenated"
+            # adapters (maxP->/meanP->) always take independent q/doc inputs
+            # and build the concatenated chunk sequences internally
+            config["model_input_type"] = "independent"
 
     if config.get("token_embedder_type", "auto") == "auto":
         if name in _EMBEDDING_MODELS:

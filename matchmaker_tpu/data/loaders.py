@@ -82,9 +82,22 @@ def triple_training_loader(
                 "doc_pos_ids": p_ids, "doc_pos_mask": p_mask,
                 "doc_neg_ids": n_ids, "doc_neg_mask": n_mask,
             }
+            idf = getattr(tokenizer, "idf_lookup", None)
+            if idf is not None:
+                row["query_idfs"] = idf[q_ids]
         if with_scores:
             row["pos_score"] = np.float32(sample.pos_score or 0.0)
             row["neg_score"] = np.float32(sample.neg_score or 0.0)
+            if sample.pos_passage_scores is not None:
+                n_psg = config.get("max_training_passages", 8)
+
+                def pad_psg(scores):
+                    arr = np.zeros(n_psg, np.float32)
+                    arr[: min(len(scores), n_psg)] = scores[:n_psg]
+                    return arr
+
+                row["pos_passage_scores"] = pad_psg(sample.pos_passage_scores)
+                row["neg_passage_scores"] = pad_psg(sample.neg_passage_scores)
         buf.append(row)
         if len(buf) == batch_size:
             yield flush()
@@ -127,6 +140,9 @@ def reranking_inference_loader(
                 "query_ids": q_ids, "query_mask": q_mask,
                 "doc_ids": d_ids, "doc_mask": d_mask,
             }
+            idf = getattr(tokenizer, "idf_lookup", None)
+            if idf is not None:
+                row["query_idfs"] = idf[q_ids]
         buf.append(row)
         qids.append(sample.query_id)
         dids.append(sample.doc_id)

@@ -78,10 +78,20 @@ class VocabTokenizer:
     OOV like padding in the match matrix (modules/neuralIR_encoder.py:29-43).
     """
 
-    def __init__(self, vocab: Vocabulary, mask_oov: bool = False):
+    def __init__(self, vocab: Vocabulary, mask_oov: bool = False, idf_path: Optional[str] = None):
         self.vocab = vocab
         self.words = WhitespaceTokenizer()
         self.mask_oov = mask_oov
+        # per-token idf table for PACRR/CO-PACRR/Duet (reference
+        # models/all.py:106-117 loads idfs as a 1-dim pretrained embedding)
+        self.idf_lookup: Optional[np.ndarray] = None
+        if idf_path:
+            self.idf_lookup = np.zeros(len(vocab), dtype=np.float32)
+            with open(idf_path, "r", encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split(" ")
+                    if len(parts) == 2 and parts[0] in vocab.token_to_id:
+                        self.idf_lookup[vocab.token_to_id[parts[0]]] = float(parts[1])
 
     @property
     def vocab_size(self) -> int:
@@ -238,7 +248,11 @@ def build_tokenizer(config) -> "VocabTokenizer | HuggingfaceTokenizer":
         vocab_path = config.get("vocab_directory") or config.get("vocab_path")
         if vocab_path is None:
             raise ValueError("embedding token_embedder_type requires vocab_path")
-        return VocabTokenizer(Vocabulary.from_file(vocab_path), mask_oov=config.get("mask_oov", False))
+        return VocabTokenizer(
+            Vocabulary.from_file(vocab_path),
+            mask_oov=config.get("mask_oov", False),
+            idf_path=config.get("idf_path"),
+        )
     name = config.get("bert_pretrained_model", "distilbert-base-uncased")
     try:
         return HuggingfaceTokenizer(name)

@@ -26,6 +26,8 @@ class LossBundle:
     inbatch_loss: Optional[Callable]
     use_list_loss: bool
     use_inbatch_list_loss: bool
+    # loss consumes per-passage score matrices (IDCM/MaxP distillation)
+    is_passage_loss: bool = False
 
 
 _PAIRWISE = {
@@ -93,6 +95,7 @@ def get_loss(config) -> LossBundle:
         inbatch_loss=inbatch,
         use_list_loss=use_list_loss,
         use_inbatch_list_loss=use_inbatch_list,
+        is_passage_loss=name in ("MSETeacherPointwisePassages", "MarginMSE_InterPassageLoss"),
     )
 
 

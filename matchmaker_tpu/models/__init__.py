@@ -33,11 +33,33 @@ def _register_transformer_models():
     from matchmaker_tpu.models.bert_cat import BertCat
     from matchmaker_tpu.models.bert_dot import BertDot, BertDotDualEncoder
     from matchmaker_tpu.models.colbert import ColBert
+    from matchmaker_tpu.models.conv_knrm import ConvKNRM
+    from matchmaker_tpu.models.drmm import DRMM
+    from matchmaker_tpu.models.duet import Duet
+    from matchmaker_tpu.models.idcm import IDCM, IDCMInferenceOnly
+    from matchmaker_tpu.models.matchpyramid import MatchPyramid
+    from matchmaker_tpu.models.pacrr import PACRR, CoPACRR
+    from matchmaker_tpu.models.parade import Parade
+    from matchmaker_tpu.models.prettr import PreTTR
+    from matchmaker_tpu.models.tk_sparse import TKSparse
+    from matchmaker_tpu.models.tkl import TKL
 
     register_model("bert_cat", BertCat)
     register_model("bert_dot", BertDot)
     register_model("bert_dot_dualencoder", BertDotDualEncoder)
     register_model("colbert", ColBert)
+    register_model("conv_knrm", ConvKNRM)
+    register_model("drmm", DRMM)
+    register_model("duet", Duet)
+    register_model("idcm", IDCM)
+    register_model("idcm_inference_only", IDCMInferenceOnly)
+    register_model("matchpyramid", MatchPyramid)
+    register_model("pacrr", PACRR)
+    register_model("co_pacrr", CoPACRR)
+    register_model("parade", Parade)
+    register_model("prettr", PreTTR)
+    register_model("tk_sparse", TKSparse)
+    register_model("tkl", TKL)
 
 
 _register_transformer_models()

@@ -81,7 +81,55 @@ class TransformerEncoderLM(nn.Module):
     cfg: EncoderConfig
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings")
+        self.position_embeddings = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, name="position_embeddings"
+        )
+        if cfg.type_vocab_size > 0:
+            self.token_type_embeddings = nn.Embed(
+                cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings"
+            )
+        self.embeddings_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_norm")
+        self.embeddings_dropout = nn.Dropout(cfg.dropout)
+        self.layers = [
+            EncoderLayer(cfg, self.compute_dtype, name=f"layer_{i}") for i in range(cfg.num_layers)
+        ]
+
+    def embed(
+        self,
+        ids: jnp.ndarray,
+        type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        skip_position: bool = False,
+        position_offset: int = 0,
+    ) -> jnp.ndarray:
+        """Embedding sub-stack: word (+position, +type) → LN → dropout.
+
+        ``position_offset`` shifts position ids (PreTTR doc-tower offset,
+        reference prettr.py:68-112); ``skip_position`` drops position
+        embeddings entirely (reference modules/bert_parts.py:5)."""
+        cfg = self.cfg
+        x = self.word_embeddings(ids)
+        if not skip_position:
+            positions = jnp.arange(ids.shape[1])[None, :] + position_offset
+            x = x + self.position_embeddings(positions)
+        if cfg.type_vocab_size > 0:
+            if type_ids is None:
+                type_ids = jnp.zeros_like(ids)
+            x = x + self.token_type_embeddings(type_ids)
+        x = self.embeddings_norm(x)
+        return self.embeddings_dropout(x, deterministic=deterministic)
+
+    def encode_layers(self, x, mask, start: int, end: int, deterministic: bool = True):
+        """Run layers [start, end) on already-embedded inputs (PreTTR join)."""
+        attn_mask = (mask > 0)[:, None, None, :]
+        x = x.astype(self.compute_dtype)
+        for layer in self.layers[start:end]:
+            x = layer(x, attn_mask, deterministic)
+        return x.astype(jnp.float32)
+
     def __call__(
         self,
         ids: jnp.ndarray,
@@ -92,41 +140,11 @@ class TransformerEncoderLM(nn.Module):
         skip_position: bool = False,
         position_offset: int = 0,
     ) -> jnp.ndarray:
-        """Returns final hidden states (B, L, H).
-
-        ``num_layers`` runs only the first N layers (PreTTR's split encoder);
-        ``position_offset`` shifts position ids (PreTTR doc-tower offset,
-        reference prettr.py:68-112); ``skip_position`` drops position
-        embeddings entirely (reference modules/bert_parts.py:5).
-        """
-        cfg = self.cfg
-        x = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings")(ids)
-        if not skip_position:
-            positions = jnp.arange(ids.shape[1])[None, :] + position_offset
-            x = x + nn.Embed(
-                cfg.max_position_embeddings, cfg.hidden_size, name="position_embeddings"
-            )(positions)
-        if cfg.type_vocab_size > 0:
-            if type_ids is None:
-                type_ids = jnp.zeros_like(ids)
-            x = x + nn.Embed(cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings")(type_ids)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(x)
-        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
-
-        attn_mask = (mask > 0)[:, None, None, :]
-        n = num_layers if num_layers is not None else cfg.num_layers
-        x = x.astype(self.compute_dtype)
-        for i in range(n):
-            x = EncoderLayer(cfg, self.compute_dtype, name=f"layer_{i}")(x, attn_mask, deterministic)
-        return x.astype(jnp.float32)
-
-    def encode_layers(self, x, mask, start: int, end: int, deterministic: bool = True):
-        """Run layers [start, end) on already-embedded inputs (PreTTR join)."""
-        attn_mask = (mask > 0)[:, None, None, :]
-        x = x.astype(self.compute_dtype)
-        for i in range(start, end):
-            x = EncoderLayer(self.cfg, self.compute_dtype, name=f"layer_{i}")(x, attn_mask, deterministic)
-        return x.astype(jnp.float32)
+        """Returns final hidden states (B, L, H); ``num_layers`` runs only the
+        first N layers (PreTTR's cacheable lower towers)."""
+        x = self.embed(ids, type_ids, deterministic, skip_position, position_offset)
+        n = num_layers if num_layers is not None else self.cfg.num_layers
+        return self.encode_layers(x, mask, 0, n, deterministic)
 
 
 def encoder_config_from_model_name(config) -> EncoderConfig:

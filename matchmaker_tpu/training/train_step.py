@@ -39,6 +39,9 @@ def split_triple_batch(batch: Dict[str, jnp.ndarray]) -> Tuple[Dict, Dict]:
             "query_ids": batch["query_ids"], "query_mask": batch["query_mask"],
             "doc_ids": batch["doc_neg_ids"], "doc_mask": batch["doc_neg_mask"],
         }
+        if "query_idfs" in batch:
+            pos["query_idfs"] = batch["query_idfs"]
+            neg["query_idfs"] = batch["query_idfs"]
     return pos, neg
 
 
@@ -60,9 +63,22 @@ def make_loss_fn(model, losses: LossBundle, config):
             scores = jnp.stack([pos_score, neg_score], axis=1)
             labels = jnp.stack([jnp.ones_like(pos_score), jnp.zeros_like(neg_score)], axis=1)
             loss = losses.ranking_loss(scores, labels, valid[:, None] * jnp.ones_like(scores))
+        elif losses.is_passage_loss:
+            loss = losses.ranking_loss(
+                pos_out["passage_scores"],
+                neg_out["passage_scores"],
+                batch.get("pos_passage_scores", jnp.zeros_like(pos_out["passage_scores"])),
+                batch.get("neg_passage_scores", jnp.zeros_like(neg_out["passage_scores"])),
+                valid,
+            )
         else:
             loss = losses.ranking_loss(pos_score, neg_score, t_pos, t_neg, valid)
         stats = {"ranking_loss": loss}
+
+        if "selection_loss" in pos_out:
+            sel = (pos_out["selection_loss"] + neg_out["selection_loss"]) / 2.0
+            stats["selection_loss"] = sel
+            loss = loss + sel
 
         if losses.inbatch_loss is not None and "query_vecs" in pos_out:
             q = pos_out["query_vecs"]  # (B, D) single-vector / (B, Lq, D) ColBERT

@@ -48,7 +48,7 @@ def test_auto_fill(tmp_path):
         ("colbert", "independent", "huggingface_bpe"),
         ("knrm", "independent", "embedding"),
         ("tk", "independent", "embedding"),
-        ("maxP->bert_cat", "concatenated", "huggingface_bpe"),
+        ("maxP->bert_cat", "independent", "huggingface_bpe"),
     ]:
         a = _write(tmp_path, "m.yaml", f"model: {model}\n")
         cfg = get_config([a])
