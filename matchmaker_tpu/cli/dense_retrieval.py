@@ -1,0 +1,159 @@
+"""Dense retrieval entry point: 3-phase encode → index → search.
+
+Contract with reference dense_retrieval.py:53-105,197-455 — modes:
+    encode+index+search : encode corpus, build index, search query sets
+    index+search        : reuse encoded vector blocks (continue folder)
+    search              : reuse saved index (continue folder)
+Config keys follow config/dense_retrieval/minimal-usage-example.yaml
+(collection_tsv, query_sets.<name>.{queries_tsv,qrels,binarization_point,top_n},
+token_block_size/token_dtype, faiss_index_type, ...).
+
+Usage:
+    python -m matchmaker_tpu.cli.dense_retrieval encode+index+search \
+        --config-file cfg.yaml --run-name my_index
+    python -m matchmaker_tpu.cli.dense_retrieval search \
+        --config-file cfg.yaml --run-name again --continue-folder <run>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+import jax
+import numpy as np
+
+from matchmaker_tpu.config import get_config
+from matchmaker_tpu.data.tokenization import build_tokenizer
+from matchmaker_tpu.evaluation import save_sorted_results
+from matchmaker_tpu.experiment import get_parser, prepare_experiment
+from matchmaker_tpu.metrics import calculate_metrics_plain, load_qrels, print_metric_summary, unrolled_to_ranked_result
+from matchmaker_tpu.models import get_model, init_params
+from matchmaker_tpu.obs.perf_monitor import PerformanceMonitor
+from matchmaker_tpu.parallel.mesh import make_mesh
+from matchmaker_tpu.retrieval.encode import encode_corpus, load_encoded
+from matchmaker_tpu.retrieval.indexes import build_index
+from matchmaker_tpu.retrieval.search import search_queries
+from matchmaker_tpu.training.checkpoints import load_params
+
+
+def make_encode_fn(model, sequence_type: str):
+    """Jitted forward_representation closure (reference indexing_heads.py:6-62)."""
+
+    @jax.jit
+    def encode(params, ids, mask):
+        return model.apply(
+            {"params": params}, ids, mask, sequence_type, method=type(model).encode
+        )
+
+    return encode
+
+
+def run(mode: str, config, run_folder: str) -> int:
+    perf = PerformanceMonitor.get()
+    mesh = make_mesh()
+    tokenizer = build_tokenizer(config)
+    model = get_model(config, tokenizer)
+    params = init_params(model, config, jax.random.PRNGKey(config.get("random_seed", 42)))
+
+    trained_model = config.get("trained_model")
+    if trained_model and os.path.exists(trained_model):
+        ckpt = trained_model
+        if os.path.isdir(ckpt):
+            ckpt = os.path.join(ckpt, "best-model.flax")
+        if os.path.exists(ckpt):
+            params = load_params(ckpt, params)
+
+    encode_folder = os.path.join(run_folder, "encoded")
+
+    # ---- phase 1: encode -------------------------------------------------
+    if "encode" in mode:
+        cfg_enc = dict(config)
+        cfg_enc["batch_size_inference"] = config.get("collection_batch_size", 128)
+        encode_corpus(
+            make_encode_fn(model, "doc_encode"),
+            params,
+            cfg_enc,
+            tokenizer,
+            config["collection_tsv"],
+            encode_folder,
+            sequence_type="doc",
+        )
+
+    # ---- phase 2: index --------------------------------------------------
+    index_folder = os.path.join(run_folder, "index")
+    indexer = build_index(config, mesh)
+    if "index" in mode:
+        perf.start_block("indexing")
+        vectors, row_ids = load_encoded(encode_folder)
+        indexer.prepare(vectors.shape[1])
+        indexer.index(row_ids, vectors)
+        perf.stop_block("indexing", vectors.shape[0])
+        indexer.save(index_folder)
+    else:
+        indexer.load(index_folder)
+
+    # ---- phase 3: search -------------------------------------------------
+    from matchmaker_tpu.config import model_base_name
+
+    auto_multi = model_base_name(config.get("model", "")) == "colbert" or "->" in config.get("model", "")
+    multi_vector = bool(config.get("multi_vector_corpus", auto_multi))
+    cfg_q = dict(config)
+    cfg_q["batch_size_inference"] = config.get("query_batch_size", 32)
+    for name, qset in (config.get("query_sets") or {}).items():
+        results = search_queries(
+            make_encode_fn(model, "query_encode"),
+            params,
+            cfg_q,
+            tokenizer,
+            indexer,
+            qset["queries_tsv"],
+            top_n=qset.get("top_n", 100),
+            dedup=multi_vector,
+        )
+        save_sorted_results(results, os.path.join(run_folder, f"{name}-output.txt"))
+        if qset.get("qrels"):
+            metrics = calculate_metrics_plain(
+                unrolled_to_ranked_result(results),
+                load_qrels(qset["qrels"]),
+                qset.get("binarization_point", 1.0),
+            )
+            import csv
+
+            with open(os.path.join(run_folder, f"{name}-metrics.csv"), "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(list(metrics.keys()))
+                w.writerow(list(metrics.values()))
+            print(f"[{name}]", end=" ")
+            print_metric_summary(metrics)
+
+    perf.save_summary(os.path.join(run_folder, "efficiency-metrics.json"))
+    perf.print_summary()
+    return 0
+
+
+def main() -> int:
+    parser = get_parser()
+    parser.add_argument("mode", choices=["encode+index+search", "index+search", "search"])
+    args = parser.parse_args()
+
+    if args.continue_folder:
+        run_folder = args.continue_folder
+        config = get_config(
+            [os.path.join(run_folder, "config.yaml")] + (args.config_file or []),
+            args.config_overwrites,
+        )
+    else:
+        config = get_config(args.config_file, args.config_overwrites)
+        run_folder = prepare_experiment(config["expirement_base_path"], args.run_name, config)
+    print(f"[matchmaker-tpu] dense retrieval ({args.mode}) run folder: {run_folder}")
+    try:
+        return run(args.mode, config, run_folder)
+    except Exception:
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,307 @@
+"""Nearest-neighbor index layer — the faiss/ScaNN replacement.
+
+Contract with the reference (retrieval/base_index.py:4-33, faiss_indices.py):
+``prepare(config, dim) / index(ids, vectors) / search(queries, top_n) /
+save(folder) / load(folder)``, with exact (IndexFlatIP-equivalent), IVF
+(approximate), and dynamic-clustering (TAS-B query clusterer,
+faiss_indices.py:307-428) variants.
+
+TPU design: the "index" is a device-resident embedding matrix. Exact search is
+the sharded blocked MIPS kernel (ops/mips.py) — the multi-chip analog of
+faiss's ``co.shard=True`` GPU sharding (faiss_indices.py:63-67). IVF clusters
+with on-device k-means and searches the nprobe nearest clusters through a
+padded per-cluster layout (static shapes). Vectors are stored fp16 on disk
+(reference ``token_dtype`` semantics) and computed in bf16/f32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matchmaker_tpu.ops.mips import blocked_topk_scores, sharded_topk_mips
+
+
+class BaseNNIndexer:
+    def __init__(self, config=None):
+        config = config or {}
+        self.dtype = np.float16 if config.get("token_dtype", "float16") == "float16" else np.float32
+        self.compute_dtype = jnp.float32
+        self.dim: Optional[int] = None
+
+    def prepare(self, dim: int) -> None:
+        self.dim = dim
+
+    def index(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (scores (Q, top_n), ids (Q, top_n))"""
+        raise NotImplementedError
+
+    def save(self, folder: str) -> None:
+        raise NotImplementedError
+
+    def load(self, folder: str) -> None:
+        raise NotImplementedError
+
+
+class FlatIndex(BaseNNIndexer):
+    """Exact MIPS over the full corpus matrix, sharded across the mesh."""
+
+    def __init__(self, config=None, mesh=None):
+        super().__init__(config)
+        self.mesh = mesh
+        self.block_size = (config or {}).get("mips_block_size", 65536)
+        self._vectors: Optional[np.ndarray] = None
+        self._ids: Optional[np.ndarray] = None
+        self._device_vectors = None
+        self._search_fn = None
+
+    def index(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        self._ids = np.asarray(ids)
+        self._vectors = np.asarray(vectors, dtype=self.dtype)
+        self._device_vectors = None
+
+    def _ensure_device(self):
+        if self._device_vectors is not None:
+            return
+        n_shards = 1
+        vectors = self._vectors
+        if self.mesh is not None:
+            n_shards = int(np.prod(list(self.mesh.shape.values())))
+        # pad rows to a multiple of shards*block granularity
+        pad_to = n_shards * ((vectors.shape[0] + n_shards - 1) // n_shards)
+        self._row_count = vectors.shape[0]
+        if pad_to != vectors.shape[0]:
+            vectors = np.pad(vectors, ((0, pad_to - vectors.shape[0]), (0, 0)))
+        arr = jnp.asarray(vectors, dtype=self.compute_dtype)
+        if self.mesh is not None and n_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None)))
+        self._device_vectors = arr
+
+        import functools
+
+        mesh, block = self.mesh, self.block_size
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def search_fn(queries, corpus, k):
+            return sharded_topk_mips(queries, corpus, k, mesh=mesh, block_size=block)
+
+        self._search_fn = search_fn
+
+    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        self._ensure_device()
+        q = jnp.asarray(np.asarray(queries), dtype=self.compute_dtype)
+        vals, idx = self._search_fn(q, self._device_vectors, k=top_n)
+        vals = np.asarray(vals)
+        idx = np.clip(np.asarray(idx), 0, self._row_count - 1)
+        return vals, self._ids[idx]
+
+    def save(self, folder: str) -> None:
+        os.makedirs(folder, exist_ok=True)
+        np.save(os.path.join(folder, "flat_vectors.npy"), self._vectors)
+        np.save(os.path.join(folder, "flat_ids.npy"), self._ids)
+        with open(os.path.join(folder, "flat_meta.json"), "w") as f:
+            json.dump({"dim": int(self._vectors.shape[1]), "dtype": str(self._vectors.dtype)}, f)
+
+    def load(self, folder: str) -> None:
+        self._vectors = np.load(os.path.join(folder, "flat_vectors.npy"), mmap_mode="r")
+        self._ids = np.load(os.path.join(folder, "flat_ids.npy"))
+        self._vectors = np.asarray(self._vectors)
+        self._device_vectors = None
+
+
+def kmeans(
+    vectors: jnp.ndarray, k: int, iters: int = 10, seed: int = 42, block_size: int = 65536
+) -> jnp.ndarray:
+    """On-device k-means (replaces faiss IVF training, faiss_indices.py:120-127).
+
+    Random init + Lloyd iterations; each assignment step is one blocked
+    matmul-argmax over the corpus."""
+    n, d = vectors.shape
+    key = jax.random.PRNGKey(seed)
+    centroids = vectors[jax.random.choice(key, n, (k,), replace=False)]
+
+    @jax.jit
+    def step(centroids):
+        # assign: nearest centroid by inner product on normalized distance
+        # use squared L2: |x - c|^2 = |x|^2 - 2 x.c + |c|^2 → argmin over c
+        x_sq = (vectors**2).sum(-1, keepdims=True)
+        c_sq = (centroids**2).sum(-1)
+        scores = x_sq - 2 * vectors @ centroids.T + c_sq[None, :]
+        assign = jnp.argmin(scores, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=vectors.dtype)
+        sums = one_hot.T @ vectors
+        counts = one_hot.sum(axis=0)[:, None]
+        new_centroids = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
+        return new_centroids, assign
+
+    assign = None
+    for _ in range(iters):
+        centroids, assign = step(centroids)
+    return centroids, assign
+
+
+class IVFIndex(BaseNNIndexer):
+    """Inverted-file index: k-means centroids + padded per-cluster storage.
+
+    Search: queries → top ``nprobe`` centroids → gather those clusters'
+    (padded) member blocks → blocked MIPS + top-k. All shapes static
+    (replaces faiss IVF search, faiss_indices.py:106-145)."""
+
+    def __init__(self, config=None, mesh=None):
+        super().__init__(config)
+        config = config or {}
+        self.n_clusters = config.get("faiss_ivf_list_count", 100)
+        self.nprobe = config.get("faiss_ivf_nprobe", 8)
+        self.train_iters = config.get("ivf_train_iters", 10)
+        self.mesh = mesh
+        self._centroids = None
+        self._cluster_vectors = None  # (C, M, D) padded
+        self._cluster_ids = None  # (C, M) int row ids, -1 padded
+        self._ids = None
+
+    def index(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        self._ids = np.asarray(ids)
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n, d = vectors.shape
+        k = min(self.n_clusters, n)
+        centroids, assign = kmeans(jnp.asarray(vectors), k, self.train_iters)
+        centroids = np.asarray(centroids)
+        assign = np.asarray(assign)
+
+        max_size = max(1, int(np.bincount(assign, minlength=k).max()))
+        cluster_vectors = np.zeros((k, max_size, d), dtype=self.dtype)
+        cluster_rows = np.full((k, max_size), -1, dtype=np.int64)
+        fill = np.zeros(k, dtype=np.int64)
+        for row, c in enumerate(assign):
+            cluster_vectors[c, fill[c]] = vectors[row]
+            cluster_rows[c, fill[c]] = row
+            fill[c] += 1
+        self._centroids = centroids
+        self._cluster_vectors = cluster_vectors
+        self._cluster_ids = cluster_rows
+        self.n_clusters_eff = k
+
+    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
+        centroids = jnp.asarray(self._centroids)
+        cvecs = jnp.asarray(self._cluster_vectors, dtype=jnp.float32)
+        crows = jnp.asarray(self._cluster_ids)
+        nprobe = min(self.nprobe, self.n_clusters_eff)
+
+        @jax.jit
+        def run(q):
+            cent_scores = q @ centroids.T  # (Q, C)
+            probe = jax.lax.top_k(cent_scores, nprobe)[1]  # (Q, nprobe)
+            sel_vecs = cvecs[probe]  # (Q, nprobe, M, D)
+            sel_rows = crows[probe]  # (Q, nprobe, M)
+            scores = jnp.einsum("qd,qpmd->qpm", q, sel_vecs, preferred_element_type=jnp.float32)
+            scores = jnp.where(sel_rows >= 0, scores, -jnp.inf)
+            flat_scores = scores.reshape(q.shape[0], -1)
+            flat_rows = sel_rows.reshape(q.shape[0], -1)
+            k = min(top_n, flat_scores.shape[1])
+            vals, pos = jax.lax.top_k(flat_scores, k)
+            return vals, jnp.take_along_axis(flat_rows, pos, axis=1)
+
+        vals, rows = run(q)
+        vals, rows = np.asarray(vals), np.clip(np.asarray(rows), 0, len(self._ids) - 1)
+        if vals.shape[1] < top_n:
+            pad = top_n - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            rows = np.pad(rows, ((0, 0), (0, pad)))
+        return vals, self._ids[rows]
+
+    def save(self, folder: str) -> None:
+        os.makedirs(folder, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(folder, "ivf_index.npz"),
+            centroids=self._centroids,
+            cluster_vectors=self._cluster_vectors,
+            cluster_ids=self._cluster_ids,
+            ids=self._ids,
+        )
+
+    def load(self, folder: str) -> None:
+        data = np.load(os.path.join(folder, "ivf_index.npz"), allow_pickle=True)
+        self._centroids = data["centroids"]
+        self._cluster_vectors = data["cluster_vectors"]
+        self._cluster_ids = data["cluster_ids"]
+        self._ids = data["ids"]
+        self.n_clusters_eff = self._centroids.shape[0]
+
+
+class DynamicClusterIndex(BaseNNIndexer):
+    """Query-clustering index for TAS-B (reference FaissDynamicIndexer,
+    faiss_indices.py:307-428): exposes centroid assignment
+    (``search_preassigned`` equivalent), per-centroid member lists, and
+    re-assignment updates."""
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        config = config or {}
+        self.n_clusters = config.get("faiss_ivf_list_count", 2000)
+        self.train_iters = config.get("ivf_train_iters", 10)
+        self._centroids = None
+        self._assignments = None  # row -> centroid
+        self._ids = None
+
+    def index_all(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        self._ids = np.asarray(ids)
+        k = min(self.n_clusters, len(ids))
+        centroids, assign = kmeans(jnp.asarray(np.asarray(vectors, np.float32)), k, self.train_iters)
+        self._centroids = np.asarray(centroids)
+        self._assignments = np.asarray(assign)
+
+    def assign(self, vectors: np.ndarray) -> np.ndarray:
+        """Nearest centroid id per vector (L2, matching k-means training)."""
+        v = jnp.asarray(np.asarray(vectors, np.float32))
+        c = jnp.asarray(self._centroids)
+        scores = (v**2).sum(-1, keepdims=True) - 2 * v @ c.T + (c**2).sum(-1)[None, :]
+        return np.asarray(jnp.argmin(scores, axis=1))
+
+    def cluster_members(self, cluster_id: int) -> np.ndarray:
+        return self._ids[self._assignments == cluster_id]
+
+    def update(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        """Re-assign the given rows (reference faiss_indices.py:368)."""
+        new_assign = self.assign(vectors)
+        id_to_pos = {i: p for p, i in enumerate(self._ids)}
+        for i, a in zip(ids, new_assign):
+            self._assignments[id_to_pos[i]] = a
+
+    def save(self, folder: str) -> None:
+        os.makedirs(folder, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(folder, "dynamic_index.npz"),
+            centroids=self._centroids,
+            assignments=self._assignments,
+            ids=self._ids,
+        )
+
+    def load(self, folder: str) -> None:
+        data = np.load(os.path.join(folder, "dynamic_index.npz"), allow_pickle=True)
+        self._centroids = data["centroids"]
+        self._assignments = data["assignments"]
+        self._ids = data["ids"]
+
+
+def build_index(config, mesh=None) -> BaseNNIndexer:
+    """Index factory keyed on ``faiss_index_type`` (reference
+    dense_retrieval.py:308-320); hnsw/ontology types map onto the IVF path."""
+    kind = config.get("faiss_index_type", "flat")
+    if kind in ("flat", "exact"):
+        return FlatIndex(config, mesh)
+    if kind in ("ivf", "hnsw", "scann", "sharded_ondisk"):
+        return IVFIndex(config, mesh)
+    if kind == "dynamic":
+        return DynamicClusterIndex(config)
+    raise ValueError(f"unknown faiss_index_type: {kind}")

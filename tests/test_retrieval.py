@@ -1,0 +1,157 @@
+"""Retrieval runtime tests: MIPS kernels vs numpy ground truth, sharded search
+on the 8-device mesh, IVF recall, k-means, encode→index→search end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matchmaker_tpu.ops.mips import blocked_topk_scores, sharded_topk_mips
+from matchmaker_tpu.retrieval.indexes import DynamicClusterIndex, FlatIndex, IVFIndex, kmeans
+
+
+def _numpy_topk(queries, corpus, k):
+    scores = queries @ corpus.T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_blocked_topk_matches_numpy(rng):
+    q = rng.normal(size=(7, 16)).astype(np.float32)
+    c = rng.normal(size=(533, 16)).astype(np.float32)
+    vals, idx = blocked_topk_scores(jnp.asarray(q), jnp.asarray(c), k=13, block_size=100)
+    ref_vals, ref_idx = _numpy_topk(q, c, 13)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_sharded_mips_matches_numpy(rng, eight_devices):
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    c = rng.normal(size=(8 * 64, 32)).astype(np.float32)
+    vals, idx = sharded_topk_mips(jnp.asarray(q), jnp.asarray(c), k=10, mesh=mesh, block_size=32)
+    ref_vals, ref_idx = _numpy_topk(q, c, 10)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_flat_index_roundtrip(rng, tmp_path, eight_devices):
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    index = FlatIndex({"token_dtype": "float32"}, make_mesh())
+    vectors = rng.normal(size=(200, 24)).astype(np.float32)
+    ids = np.array([f"d{i}" for i in range(200)])
+    index.prepare(24)
+    index.index(ids, vectors)
+    q = vectors[[3, 77]] + rng.normal(scale=0.01, size=(2, 24)).astype(np.float32)
+    scores, got_ids = index.search(q, 5)
+    assert got_ids[0][0] == "d3"
+    assert got_ids[1][0] == "d77"
+
+    index.save(str(tmp_path))
+    index2 = FlatIndex({"token_dtype": "float32"}, make_mesh())
+    index2.load(str(tmp_path))
+    scores2, got_ids2 = index2.search(q, 5)
+    np.testing.assert_array_equal(got_ids, got_ids2)
+
+
+def test_kmeans_separates_clusters(rng):
+    a = rng.normal(loc=+5, size=(50, 8)).astype(np.float32)
+    b = rng.normal(loc=-5, size=(50, 8)).astype(np.float32)
+    vectors = np.concatenate([a, b])
+    _, assign = kmeans(jnp.asarray(vectors), k=2, iters=10)
+    assign = np.asarray(assign)
+    assert len(set(assign[:50])) == 1
+    assert len(set(assign[50:])) == 1
+    assert assign[0] != assign[-1]
+
+
+def test_ivf_index_recall(rng):
+    # clustered corpus → IVF with enough probes recovers the exact neighbor
+    centers = rng.normal(size=(10, 16)).astype(np.float32) * 5
+    vectors = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(40, 16)).astype(np.float32) for c in centers]
+    )
+    ids = np.array([f"d{i}" for i in range(len(vectors))])
+    index = IVFIndex({"faiss_ivf_list_count": 10, "faiss_ivf_nprobe": 5, "token_dtype": "float32"})
+    index.prepare(16)
+    index.index(ids, vectors)
+    q = vectors[[5, 250]]
+    _, got = index.search(q, 5)
+    # recall vs exact inner-product search
+    exact_scores = q @ vectors.T
+    exact_top = np.argsort(-exact_scores, axis=1)[:, :5]
+    for qi in range(2):
+        exact_ids = {f"d{i}" for i in exact_top[qi]}
+        overlap = len(exact_ids & set(got[qi]))
+        assert overlap >= 4, (qi, got[qi], exact_ids)
+
+
+def test_dynamic_cluster_index(rng):
+    vectors = np.concatenate(
+        [rng.normal(loc=5, size=(30, 8)), rng.normal(loc=-5, size=(30, 8))]
+    ).astype(np.float32)
+    ids = np.array([f"q{i}" for i in range(60)])
+    index = DynamicClusterIndex({"faiss_ivf_list_count": 2})
+    index.index_all(ids, vectors)
+    assign = index.assign(vectors[:5])
+    assert len(set(assign)) == 1
+    members = index.cluster_members(assign[0])
+    assert "q0" in members
+
+
+def test_encode_index_search_end_to_end(tmp_path, rng, eight_devices):
+    """Full retrieval runtime with a deterministic bag-of-words encoder:
+    planted-relevance queries must retrieve their relevant docs."""
+    from tests.make_tiny_dataset import make_tiny_dataset
+    from matchmaker_tpu.data.tokenization import build_tokenizer
+    from matchmaker_tpu.retrieval.encode import encode_corpus, load_encoded
+    from matchmaker_tpu.retrieval.search import search_queries
+    from matchmaker_tpu.metrics import calculate_metrics_plain, load_qrels, unrolled_to_ranked_result
+
+    paths = make_tiny_dataset(str(tmp_path / "data"))
+    config = {
+        "model_input_type": "independent",
+        "token_embedder_type": "embedding",
+        "vocab_path": paths["vocab"],
+        "max_query_length": 8,
+        "max_doc_length": 24,
+        "batch_size_inference": 16,
+        "token_dtype": "float32",
+        "token_block_size": 64,
+    }
+    tokenizer = build_tokenizer(config)
+    vocab_size = tokenizer.vocab_size
+
+    def bow_encode(params, ids, mask):
+        one_hot = jax.nn.one_hot(ids, vocab_size) * mask[..., None]
+        vec = one_hot.sum(axis=1)
+        return vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-6)
+
+    enc_dir = str(tmp_path / "encoded")
+    doc_infos = encode_corpus(bow_encode, None, config, tokenizer, paths["collection"], enc_dir)
+    assert len(doc_infos) == 120  # 12 val queries × 10 docs
+
+    vectors, row_ids = load_encoded(enc_dir)
+    assert vectors.shape == (120, vocab_size)
+
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    index = FlatIndex({"token_dtype": "float32"}, make_mesh())
+    index.prepare(vectors.shape[1])
+    index.index(row_ids, vectors)
+
+    results = search_queries(
+        bow_encode, None, config, tokenizer, index, paths["queries"], top_n=10
+    )
+    metrics = calculate_metrics_plain(
+        unrolled_to_ranked_result(results), load_qrels(paths["qrels"])
+    )
+    assert metrics["QueriesRanked"] == 12
+    assert metrics["MRR@10"] > 0.95, metrics["MRR@10"]
+    assert metrics["Recall@10"] > 0.95
