@@ -1,0 +1,78 @@
+"""TAS-B query clustering: encode training queries, k-means, assignment file.
+
+Contract: reference distillation/query_clusterer.py:126-242 — encode all
+training queries with a baseline dense retriever, train a ~2000-centroid index
+(faiss IVF there, on-device k-means here), assign every query to its nearest
+centroid, and write one cluster of query ids per line
+(``cluster-assignment-ids.tsv`` — the file the TAS-Balanced sampler consumes).
+
+Usage:
+    python -m matchmaker_tpu.cli.cluster_queries --model <bert_dot run folder> \
+        --queries train_queries.tsv --out cluster-assignment-ids.tsv \
+        [--clusters 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+from matchmaker_tpu.data.loaders import device_prefetch, single_sequence_loader
+from matchmaker_tpu.distillation.dynamic_teacher import load_teacher
+from matchmaker_tpu.obs.perf_monitor import PerformanceMonitor
+from matchmaker_tpu.retrieval.indexes import DynamicClusterIndex
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True, help="baseline bert_dot run folder")
+    parser.add_argument("--queries", required=True, help="id\\ttext query file")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--clusters", type=int, default=2000)
+    parser.add_argument("--batch-size", type=int, default=128)
+    args = parser.parse_args()
+
+    import jax
+
+    model, params, config, tokenizer = load_teacher(args.model)
+    cfg = dict(config)
+    cfg["batch_size_inference"] = args.batch_size
+
+    @jax.jit
+    def encode(params, ids, mask):
+        return model.apply({"params": params}, ids, mask, "query", method=type(model).encode)
+
+    perf = PerformanceMonitor.get()
+    perf.start_block("query_encode")
+    all_ids, all_vecs = [], []
+    for batch, qids in device_prefetch(
+        single_sequence_loader(cfg, tokenizer, args.queries, "query")
+    ):
+        vecs = np.asarray(encode(params, batch["seq_ids"], batch["seq_mask"]))
+        keep = int(batch["valid"].sum())
+        all_vecs.append(vecs[:keep])
+        all_ids.extend(qids[:keep])
+    vectors = np.concatenate(all_vecs, axis=0)
+    perf.stop_block("query_encode", len(all_ids))
+
+    perf.start_block("clustering")
+    index = DynamicClusterIndex({"faiss_ivf_list_count": args.clusters})
+    index.index_all(np.array(all_ids), vectors)
+    perf.stop_block("clustering", len(all_ids))
+
+    clusters = defaultdict(list)
+    for qid, c in zip(all_ids, index._assignments):
+        clusters[int(c)].append(qid)
+    with open(args.out, "w", encoding="utf-8") as f:
+        for c in sorted(clusters):
+            f.write(" ".join(clusters[c]) + "\n")
+    perf.print_summary()
+    print(f"wrote {len(clusters)} clusters for {len(all_ids)} queries -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Dynamic teacher: score training batches on the fly with a trained model.
+
+Behavior contract: reference distillation/dynamic_teacher.py:114-292 — wraps
+the training batch stream, scores every batch with a teacher checkpoint
+(pairwise ``pos/neg`` scores; optionally full in-batch B×B score matrices via
+ColBERT's all-pairs MaxSim for in-batch list losses), and attaches
+``dyn_teacher_scores_*`` before the batch reaches the student.
+
+TPU design: the reference isolates the teacher in a spawned subprocess pinned
+to the last GPU (dynamic_teacher.py:132-157). Here the teacher is simply a
+second jitted XLA program — batches are scored on-device between the host
+loader and the student step, and XLA overlaps the two programs' execution; a
+device-subset placement can be layered on via ``jax.device_put`` when chips
+are plentiful.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def load_teacher(teacher_path: str, overrides: Optional[dict] = None):
+    """Build (model, params, config) from a run folder (config.yaml +
+    best-model.flax) or a bare checkpoint file next to a config."""
+    from matchmaker_tpu.config import get_config_single
+    from matchmaker_tpu.data.tokenization import build_tokenizer
+    from matchmaker_tpu.models import get_model, init_params
+    from matchmaker_tpu.training.checkpoints import load_params
+
+    config = get_config_single(os.path.join(teacher_path, "config.yaml"))
+    if overrides:
+        config.update(overrides)
+    tokenizer = build_tokenizer(config)
+    model = get_model(config, tokenizer)
+    params = init_params(model, config, jax.random.PRNGKey(0))
+    ckpt = os.path.join(teacher_path, "best-model.flax")
+    if os.path.exists(ckpt):
+        params = load_params(ckpt, params)
+    return model, params, config, tokenizer
+
+
+class DynamicTeacher:
+    def __init__(self, config, teacher_path: Optional[str] = None):
+        teacher_path = teacher_path or config["dynamic_teacher_path"]
+        self.in_batch_scoring = config.get("dynamic_teacher_in_batch_scoring", False)
+        self.per_term_scores = config.get("dynamic_teacher_per_term_scores", False)
+        overrides = {"in_batch_negatives": True} if self.in_batch_scoring else None
+        self.model, self.params, self.teacher_config, _ = load_teacher(teacher_path, overrides)
+
+        model = self.model
+
+        @jax.jit
+        def score_pair(params, batch):
+            from matchmaker_tpu.training.train_step import split_triple_batch
+
+            pos_batch, neg_batch = split_triple_batch(batch)
+            pos_out = model.apply({"params": params}, pos_batch)
+            neg_out = model.apply({"params": params}, neg_batch)
+            out = {"pos": pos_out["score"], "neg": neg_out["score"]}
+            if self.in_batch_scoring and "query_vecs" in pos_out:
+                q = pos_out["query_vecs"]
+                if q.ndim == 3:  # ColBERT all-pairs MaxSim (reference :269-279)
+                    import jax.numpy as jnp
+
+                    from matchmaker_tpu.ops.maxsim import maxsim_all_pairs
+
+                    d_all = jnp.concatenate([pos_out["doc_vecs"], neg_out["doc_vecs"]], axis=0)
+                    d_mask = jnp.concatenate(
+                        [pos_out["doc_vecs_mask"], neg_out["doc_vecs_mask"]], axis=0
+                    )
+                    out["matrix"] = maxsim_all_pairs(q, d_all, pos_out["query_vecs_mask"], d_mask)
+                else:
+                    import jax.numpy as jnp
+
+                    d_all = jnp.concatenate([pos_out["doc_vecs"], neg_out["doc_vecs"]], axis=0)
+                    out["matrix"] = jnp.einsum("bd,nd->bn", q, d_all)
+            return out
+
+        self._score = score_pair
+
+    def wrap(self, batch_iterator: Iterator[dict]) -> Iterator[dict]:
+        """Yield batches with teacher scores attached."""
+        for batch in batch_iterator:
+            scored = self._score(self.params, batch)
+            batch = dict(batch)
+            batch["pos_score"] = np.asarray(scored["pos"])
+            batch["neg_score"] = np.asarray(scored["neg"])
+            if "matrix" in scored:
+                batch["dyn_teacher_matrix"] = np.asarray(scored["matrix"])
+            yield batch

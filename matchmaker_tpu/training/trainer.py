@@ -122,11 +122,41 @@ class Trainer:
         epochs = config.get("epochs", 1)
         stopped = False
 
+        teacher = None
+        if config.get("dynamic_teacher", False):
+            from matchmaker_tpu.distillation.dynamic_teacher import DynamicTeacher
+
+            teacher = DynamicTeacher(config)
+
+        sampler = None
+        if config.get("dynamic_sampler", False):
+            from matchmaker_tpu.data.tas_balanced import TASBalancedSampler
+
+            sampler = TASBalancedSampler(
+                collection_file=config["dynamic_sampler_collection"],
+                query_file=config["dynamic_sampler_queries"],
+                pairs_with_teacher_scores=config["dynamic_sampler_pairs_with_teacher_scores"],
+                query_cluster_file=config["dynamic_sampler_query_cluster_file"],
+                batch_size=config.get("batch_size_train", 32),
+                clusters_per_batch=config.get("tas_balanced_clusters_per_batch", 1),
+                pair_balancing_strategy="bins"
+                if config.get("tas_balanced_pair_strategy", "random") != "random"
+                else "random",
+                seed=config.get("random_seed", 42),
+            )
+
         self.perf.start_block("train")
         for epoch in range(epochs):
             if stopped:
                 break
-            loader = triple_training_loader(config, self.tokenizer, config["train_tsv"])
+            if sampler is not None:
+                loader = sampler.batches(
+                    config, self.tokenizer, max_batches=config.get("tas_batches_per_epoch", 1000)
+                )
+            else:
+                loader = triple_training_loader(config, self.tokenizer, config["train_tsv"])
+            if teacher is not None:
+                loader = teacher.wrap(loader)
             for batch in device_prefetch(loader, sharding=self.batch_sharding):
                 self.params, self.opt_state, stats = self.train_step(
                     self.params, self.opt_state, batch

@@ -1,0 +1,148 @@
+"""Utility-layer tests: rank fusion, replay cache, preprocessing, HF export."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_rrf_fusion(tmp_path):
+    from matchmaker_tpu.utils.ensemble import fuse_runs
+
+    a = tmp_path / "a.txt"
+    a.write_text("q1 d1 1 5.0\nq1 d2 2 4.0\n")
+    b = tmp_path / "b.txt"
+    b.write_text("q1 d2 1 9.0\nq1 d3 2 1.0\n")
+    fused = fuse_runs([str(a), str(b)], method="rrf")
+    docs = [d for d, _ in fused["q1"]]
+    assert docs[0] == "d2"  # appears in both runs
+
+
+def test_avg_fusion(tmp_path):
+    from matchmaker_tpu.utils.ensemble import fuse_runs
+
+    a = tmp_path / "a.txt"
+    a.write_text("q1 d1 1 10.0\nq1 d2 2 0.0\n")
+    b = tmp_path / "b.txt"
+    b.write_text("q1 d1 1 10.0\nq1 d2 2 0.0\n")
+    fused = fuse_runs([str(a), str(b)], method="avg")
+    assert fused["q1"][0][0] == "d1"
+    assert fused["q1"][0][1] == pytest.approx(1.0)
+
+
+def test_replay_cache_roundtrip(tmp_path):
+    from matchmaker_tpu.utils.replay_cache import CrossExperimentReplayCache
+
+    cache = CrossExperimentReplayCache(str(tmp_path / "cache"), write=True)
+    tensors = [np.arange(6, dtype=np.float32).reshape(2, 3), np.ones((4,), np.float32)]
+    for t in tensors:
+        cache.cache(t)
+    cache.finish()
+
+    reader = CrossExperimentReplayCache(str(tmp_path / "cache"), write=False)
+    np.testing.assert_array_equal(reader.get_next(), tensors[0])
+    np.testing.assert_array_equal(reader.get_next(), tensors[1])
+    assert reader.get_next() is None
+
+
+def test_running_average():
+    from matchmaker_tpu.utils.replay_cache import RunningAverage
+
+    ra = RunningAverage(size=3)
+    ra.add(1.0)
+    ra.add(2.0)
+    assert ra.mean() == pytest.approx(1.5)
+    ra.add(3.0)
+    ra.add(5.0)  # evicts 1.0
+    assert ra.mean() == pytest.approx((2 + 3 + 5) / 3)
+
+
+@pytest.fixture
+def prep_files(tmp_path):
+    (tmp_path / "queries.tsv").write_text("q1\talpha beta\nq2\tgamma delta\n")
+    (tmp_path / "collection.tsv").write_text(
+        "d1\talpha beta alpha\nd2\tgamma gamma\nd3\tnoise words here\nd4\tdelta gamma\n"
+    )
+    (tmp_path / "qrels.txt").write_text("q1 0 d1 1\nq2 0 d4 1\n")
+    (tmp_path / "cands.txt").write_text(
+        "q1 d1 1 9.0\nq1 d3 2 5.0\nq2 d4 1 8.0\nq2 d3 2 4.0\nq2 d2 3 3.0\n"
+    )
+    return tmp_path
+
+
+def _run_prep(args):
+    return subprocess.run(
+        [sys.executable, "-m", "matchmaker_tpu.preprocessing"] + args,
+        capture_output=True, text=True,
+    )
+
+
+def test_preprocessing_training_triples(prep_files):
+    out = prep_files / "triples.tsv"
+    r = _run_prep([
+        "training-triples", "--candidates", str(prep_files / "cands.txt"),
+        "--qrels", str(prep_files / "qrels.txt"), "--queries", str(prep_files / "queries.tsv"),
+        "--collection", str(prep_files / "collection.tsv"), "--out", str(out),
+        "--triples-per-query", "2",
+    ])
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 4
+    assert all(len(l.split("\t")) == 3 for l in lines)
+
+
+def test_preprocessing_validation_tuples(prep_files):
+    out = prep_files / "val.tsv"
+    r = _run_prep([
+        "validation-tuples", "--candidates", str(prep_files / "cands.txt"),
+        "--queries", str(prep_files / "queries.tsv"),
+        "--collection", str(prep_files / "collection.tsv"), "--out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("q1\td1\t")
+
+
+def test_preprocessing_vocab_and_idf(prep_files):
+    vocab_out = prep_files / "vocab.txt"
+    r = _run_prep(["vocab", "--inputs", str(prep_files / "collection.tsv"), "--out", str(vocab_out), "--min-count", "1"])
+    assert r.returncode == 0, r.stderr
+    vocab = vocab_out.read_text().split()
+    assert "alpha" in vocab and "gamma" in vocab
+
+    idf_out = prep_files / "idf.txt"
+    r = _run_prep(["idf", "--collection", str(prep_files / "collection.tsv"), "--out", str(idf_out)])
+    assert r.returncode == 0, r.stderr
+    idf = dict(l.split() for l in idf_out.read_text().strip().split("\n"))
+    # gamma appears in 2 docs, alpha in 1 → idf(alpha) > idf(gamma)
+    assert float(idf["alpha"]) > float(idf["gamma"])
+
+
+def test_hf_export_roundtrip(tmp_path, rng):
+    """Export my encoder → HF checkpoint → re-import → identical params."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from matchmaker_tpu.models.encoder import EncoderConfig, TransformerEncoderLM
+    from matchmaker_tpu.models.hf_import import load_hf_encoder
+    from matchmaker_tpu.utils.hf_export import export_to_huggingface
+
+    cfg = EncoderConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, type_vocab_size=0,
+    )
+    model = TransformerEncoderLM(cfg, jnp.float32)
+    ids = rng.integers(2, 100, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+    out_dir = str(tmp_path / "export")
+    export_to_huggingface({"encoder": params}, cfg, out_dir, model_type="distilbert")
+    _, reimported = load_hf_encoder(out_dir)
+
+    flax_out = model.apply({"params": params}, ids, mask)
+    re_out = model.apply({"params": reimported}, ids, mask)
+    np.testing.assert_allclose(np.asarray(flax_out), np.asarray(re_out), rtol=1e-5, atol=1e-5)
