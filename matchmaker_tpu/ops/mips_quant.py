@@ -1,0 +1,138 @@
+"""Quantized + hardware-approximate MIPS: the speed-of-light search path.
+
+Two orthogonal accelerations over ops/mips.py's exact f32 path, replacing
+faiss's scalar-quantized fp16 indexes (reference faiss_indices.py:70-74,96-104):
+
+1. **int8 corpus quantization** (per-row absmax scales): halves HBM traffic vs
+   bf16 and doubles MXU throughput — exhaustive search is HBM-bandwidth-bound,
+   so this is ~2× end-to-end. Queries stay f32; scores are rescaled after the
+   int8×int8 matmul.
+2. **``lax.approx_max_k``**: TPU's hardware-binned approximate top-k
+   (recall_target configurable) instead of a full sort per block.
+
+Both compose with the mesh sharding in ops/mips.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def quantize_corpus(vectors: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) float → (int8 values, per-row f32 scales)."""
+    vectors = np.asarray(vectors, dtype=np.float32)
+    scales = np.abs(vectors).max(axis=1, keepdims=True) / 127.0
+    scales = np.maximum(scales, 1e-10)
+    values = np.clip(np.round(vectors / scales), -127, 127).astype(np.int8)
+    return values, scales.astype(np.float32).squeeze(1)
+
+
+def _block_topk(scores: jnp.ndarray, k: int, approx: bool, recall_target: float):
+    if approx:
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    return jax.lax.top_k(scores, k)
+
+
+def quantized_blocked_topk(
+    queries: jnp.ndarray,  # (Q, D) f32
+    values: jnp.ndarray,  # (N, D) int8
+    scales: jnp.ndarray,  # (N,) f32
+    k: int,
+    block_size: int = 131072,
+    index_offset: int = 0,
+    approx: bool = True,
+    recall_target: float = 0.95,
+    query_quant: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked exact-or-approx top-k over an int8 corpus.
+
+    ``query_quant=True`` also quantizes queries per-row so the matmul runs
+    int8×int8→int32 on the MXU's double-rate path; scores are rescaled with
+    both sides' scales."""
+    q, d = queries.shape
+    n = values.shape[0]
+    k = min(k, n)
+    n_blocks = -(-n // block_size)
+    padded_n = n_blocks * block_size
+    if padded_n != n:
+        values = jnp.pad(values, ((0, padded_n - n), (0, 0)))
+        scales = jnp.pad(scales, (0, padded_n - n))
+    vblocks = values.reshape(n_blocks, block_size, d)
+    sblocks = scales.reshape(n_blocks, block_size)
+
+    if query_quant:
+        q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True) / 127.0, 1e-10)
+        q_int = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+    else:
+        q_scale = None
+        q_int = None
+
+    init_vals = jnp.full((q, k), -jnp.inf, dtype=jnp.float32)
+    init_idx = jnp.zeros((q, k), dtype=jnp.int32)
+
+    def body(carry, inp):
+        best_v, best_i = carry
+        vb, sb, block_num = inp
+        if query_quant:
+            raw = jax.lax.dot_general(
+                q_int, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            scores = raw * q_scale * sb[None, :]
+        else:
+            scores = jnp.einsum(
+                "qd,nd->qn", queries, vb.astype(jnp.float32), preferred_element_type=jnp.float32
+            ) * sb[None, :]
+        base = block_num * block_size
+        row_ids = base + jnp.arange(block_size)
+        scores = jnp.where(row_ids[None, :] < n, scores, -jnp.inf)
+        v, i = _block_topk(scores, k, approx, recall_target)
+        gi = (base + i).astype(jnp.int32)
+        vals = jnp.concatenate([best_v, v], axis=1)
+        idxs = jnp.concatenate([best_i, gi], axis=1)
+        mv, mp = jax.lax.top_k(vals, k)
+        return (mv, jnp.take_along_axis(idxs, mp, axis=1)), None
+
+    (vals, idx), _ = jax.lax.scan(
+        body, (init_vals, init_idx), (vblocks, sblocks, jnp.arange(n_blocks))
+    )
+    return vals, idx + index_offset
+
+
+def sharded_quantized_topk(
+    queries: jnp.ndarray,
+    values: jnp.ndarray,
+    scales: jnp.ndarray,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mesh-sharded version: per-chip quantized top-k + ICI merge."""
+    if mesh is None or len(mesh.devices.flatten()) == 1:
+        return quantized_blocked_topk(queries, values, scales, k, **kw)
+
+    n_shards = mesh.shape[axis]
+    shard_rows = values.shape[0] // n_shards
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(None, axis), P(None, axis)),
+        check_vma=False,
+    )
+    def per_shard(q, v_shard, s_shard):
+        shard_id = jax.lax.axis_index(axis)
+        return quantized_blocked_topk(
+            q, v_shard, s_shard, k, index_offset=shard_id * shard_rows, **kw
+        )
+
+    part_vals, part_idx = per_shard(queries, values, scales)
+    vals, pos = jax.lax.top_k(part_vals, k)
+    return vals, jnp.take_along_axis(part_idx, pos, axis=1)

@@ -56,8 +56,13 @@ class FlatIndex(BaseNNIndexer):
 
     def __init__(self, config=None, mesh=None):
         super().__init__(config)
+        config = config or {}
         self.mesh = mesh
-        self.block_size = (config or {}).get("mips_block_size", 65536)
+        self.block_size = config.get("mips_block_size", 65536)
+        # int8 quantized corpus: ~2x search throughput (HBM-bandwidth bound)
+        self.quantized = config.get("mips_quantization", "none") == "int8"
+        self.approx = config.get("mips_approx_topk", False)
+        self.recall_target = config.get("mips_approx_recall_target", 0.95)
         self._vectors: Optional[np.ndarray] = None
         self._ids: Optional[np.ndarray] = None
         self._device_vectors = None
@@ -80,16 +85,41 @@ class FlatIndex(BaseNNIndexer):
         self._row_count = vectors.shape[0]
         if pad_to != vectors.shape[0]:
             vectors = np.pad(vectors, ((0, pad_to - vectors.shape[0]), (0, 0)))
+        import functools
+
+        mesh, block = self.mesh, self.block_size
+
+        if self.quantized:
+            from matchmaker_tpu.ops.mips_quant import quantize_corpus, sharded_quantized_topk
+
+            values, scales = quantize_corpus(vectors)
+            dv = jnp.asarray(values)
+            ds = jnp.asarray(scales)
+            if self.mesh is not None and n_shards > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dv = jax.device_put(dv, NamedSharding(self.mesh, P("data", None)))
+                ds = jax.device_put(ds, NamedSharding(self.mesh, P("data")))
+            self._device_vectors = (dv, ds)
+            approx, recall = self.approx, self.recall_target
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def search_fn(queries, corpus, k):
+                values, scales = corpus
+                return sharded_quantized_topk(
+                    queries, values, scales, k, mesh=mesh, block_size=block,
+                    approx=approx, recall_target=recall,
+                )
+
+            self._search_fn = search_fn
+            return
+
         arr = jnp.asarray(vectors, dtype=self.compute_dtype)
         if self.mesh is not None and n_shards > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None)))
         self._device_vectors = arr
-
-        import functools
-
-        mesh, block = self.mesh, self.block_size
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def search_fn(queries, corpus, k):

@@ -1,0 +1,114 @@
+"""Performance-path ops: int8 quantized MIPS, approx top-k, Pallas kernels."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matchmaker_tpu.ops.mips_quant import quantize_corpus, quantized_blocked_topk, sharded_quantized_topk
+
+
+def _numpy_topk(queries, corpus, k):
+    scores = queries @ corpus.T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_quantize_roundtrip(rng):
+    v = rng.normal(size=(50, 16)).astype(np.float32)
+    values, scales = quantize_corpus(v)
+    assert values.dtype == np.int8
+    recon = values.astype(np.float32) * scales[:, None]
+    rel_err = np.abs(recon - v).max() / np.abs(v).max()
+    assert rel_err < 0.01
+
+
+def test_quantized_topk_recall(rng):
+    q = rng.normal(size=(6, 32)).astype(np.float32)
+    c = rng.normal(size=(500, 32)).astype(np.float32)
+    values, scales = quantize_corpus(c)
+    vals, idx = quantized_blocked_topk(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=10,
+        block_size=128, approx=False,
+    )
+    _, ref_idx = _numpy_topk(q, c, 10)
+    # int8 quantization may swap near-ties; demand >=9/10 overlap per query
+    for qi in range(6):
+        overlap = len(set(np.asarray(idx)[qi]) & set(ref_idx[qi]))
+        assert overlap >= 9, overlap
+
+
+def test_quantized_sharded(rng, eight_devices):
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    c = rng.normal(size=(8 * 32, 16)).astype(np.float32)
+    values, scales = quantize_corpus(c)
+    vals, idx = sharded_quantized_topk(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=5,
+        mesh=mesh, block_size=16, approx=False,
+    )
+    _, ref_idx = _numpy_topk(q, c, 5)
+    for qi in range(4):
+        overlap = len(set(np.asarray(idx)[qi]) & set(ref_idx[qi]))
+        assert overlap >= 4
+
+
+def test_flat_index_quantized(rng, eight_devices):
+    from matchmaker_tpu.parallel.mesh import make_mesh
+    from matchmaker_tpu.retrieval.indexes import FlatIndex
+
+    index = FlatIndex(
+        {"token_dtype": "float32", "mips_quantization": "int8"}, make_mesh()
+    )
+    vectors = rng.normal(size=(160, 24)).astype(np.float32)
+    ids = np.array([f"d{i}" for i in range(160)])
+    index.prepare(24)
+    index.index(ids, vectors)
+    q = vectors[[3, 77]]
+    _, got = index.search(q, 5)
+    _, ref_idx = _numpy_topk(q, vectors, 5)
+    for qi in range(2):
+        assert len({f"d{i}" for i in ref_idx[qi]} & set(got[qi])) >= 4
+
+
+def test_pallas_maxsim_matches_jnp(rng):
+    from matchmaker_tpu.ops.maxsim import maxsim_all_pairs
+    from matchmaker_tpu.ops.pallas_kernels import maxsim_all_pairs_pallas
+
+    q = rng.normal(size=(3, 8, 16)).astype(np.float32)
+    d = rng.normal(size=(5, 12, 16)).astype(np.float32)
+    qm = (rng.random((3, 8)) > 0.2).astype(np.float32)
+    dm = (rng.random((5, 12)) > 0.2).astype(np.float32)
+    ref = maxsim_all_pairs(jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), jnp.asarray(dm))
+    got = maxsim_all_pairs_pallas(jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), jnp.asarray(dm))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kernel_pooling_matches_jnp(rng):
+    from matchmaker_tpu.ops.kernel_pooling import (
+        cosine_match_matrix,
+        gaussian_kernel_mus,
+        gaussian_kernel_sigmas,
+        kernel_pooling_features,
+    )
+    from matchmaker_tpu.ops.pallas_kernels import kernel_pooling_pallas
+
+    def l2(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+    qn = l2(rng.normal(size=(3, 8, 16))).astype(np.float32)
+    dn = l2(rng.normal(size=(3, 12, 16))).astype(np.float32)
+    qm = (rng.random((3, 8)) > 0.2).astype(np.float32)
+    dm = (rng.random((3, 12)) > 0.2).astype(np.float32)
+    mu = jnp.asarray(gaussian_kernel_mus(7))
+    sig = jnp.asarray(gaussian_kernel_sigmas(7))
+
+    match = cosine_match_matrix(jnp.asarray(qn), jnp.asarray(dn))
+    ref = kernel_pooling_features(match, jnp.asarray(qm), jnp.asarray(dm), mu, sig, log_scale=0.01)
+    got = kernel_pooling_pallas(
+        jnp.asarray(qn), jnp.asarray(dn), jnp.asarray(qm), jnp.asarray(dm), mu, sig, log_scale=0.01
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-5)
