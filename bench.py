@@ -4,27 +4,31 @@ Headline metric (matches the reference's, BASELINE.md): corpus-encoding
 throughput in passages/s for a DistilBERT-class BERT_DOT encoder (batch
 encode, bf16 on the MXU), vs the reference's best published number
 (6,900 psg/s, ONNX fp16 on an A40 — documentation/dense_retrieval_evaluate.md:22).
-Also measures exhaustive-search QPS over a 1M-vector corpus with the blocked
-MIPS kernel ("extra" field).
+Also measures exhaustive-search QPS over a 1M-vector int8 corpus with the
+blocked quantized MIPS kernel ("extra" field).
 
-Measurement methodology: the remote-TPU tunnel has ~35 ms per-dispatch latency
-and an async `block_until_ready`, so each benchmark runs its whole iteration
-loop inside ONE jitted `lax.scan` and is timed by a single small device→host
-read that depends on every iteration's result.
+Tunnel-aware methodology: the remote-TPU link has ~35 ms dispatch latency and
+an async block_until_ready, so timing chains each iteration's input on the
+previous output (serializing real execution) and ends with one tiny
+device→host read. The persistent compile cache amortizes the slow remote
+compile across runs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-# persistent compile cache: remote (tunnel) compiles cost minutes; cache them
-# across bench runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_compile_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def bench_encode(jax, batch_size=256, seq_len=128, n_iters=10):
@@ -40,23 +44,29 @@ def bench_encode(jax, batch_size=256, seq_len=128, n_iters=10):
     ids = rng.integers(1000, 29000, size=(batch_size, seq_len)).astype(np.int32)
     mask = np.ones((batch_size, seq_len), np.float32)
     batch = {"query_ids": ids[:, :32], "query_mask": mask[:, :32], "doc_ids": ids, "doc_mask": mask}
-    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    log("init params (distilbert)")
+    params = jax.jit(model.init, backend="cpu")(jax.random.PRNGKey(0), batch)["params"]
+    params = jax.device_put(params)
 
     @jax.jit
-    def encode_loop(params, ids, mask):
-        def body(carry, _):
-            # fold the previous checksum into the input so iterations can't be
-            # collapsed or reordered by the compiler
-            shifted = ids + (carry.astype(jnp.int32) % 2)
-            reps = model.apply({"params": params}, shifted, mask, "doc", method=BertDot.encode)
-            return jnp.abs(reps).sum(), None
+    def encode_step(params, ids, mask, seed):
+        # fold the seed into the ids so chained calls serialize real execution
+        shifted = jnp.where(ids > 0, ids + seed % 2, ids)
+        reps = model.apply({"params": params}, shifted, mask, "doc", method=BertDot.encode)
+        return jnp.abs(reps).sum().astype(jnp.int32)
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
-        return total
+    ids_d = jax.device_put(ids)
+    mask_d = jax.device_put(mask)
+    log("compiling encode (may take minutes on a cold cache)")
+    t0 = time.perf_counter()
+    seed = encode_step(params, ids_d, mask_d, jnp.int32(0))
+    _ = int(np.asarray(seed))
+    log(f"encode compiled+warm in {time.perf_counter() - t0:.1f}s")
 
-    _ = float(np.asarray(encode_loop(params, ids, mask)))  # compile + warm
     start = time.perf_counter()
-    _ = float(np.asarray(encode_loop(params, ids, mask)))
+    for _ in range(n_iters):
+        seed = encode_step(params, ids_d, mask_d, seed)
+    _ = int(np.asarray(seed))  # forces the whole chain
     elapsed = time.perf_counter() - start
     return batch_size * n_iters / elapsed
 
@@ -64,23 +74,32 @@ def bench_encode(jax, batch_size=256, seq_len=128, n_iters=10):
 def bench_search(jax, n_corpus=1_000_000, dim=768, q_batch=64, k=1000, n_iters=10):
     import jax.numpy as jnp
 
-    from matchmaker_tpu.ops.mips import blocked_topk_scores
+    from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
 
-    corpus = jax.random.normal(jax.random.PRNGKey(0), (n_corpus, dim), dtype=jnp.bfloat16)
+    log("building 1M int8 corpus on device")
+    values = jax.jit(
+        lambda key: jax.random.randint(key, (n_corpus, dim), -127, 127, dtype=jnp.int8)
+    )(jax.random.PRNGKey(0))
+    scales = jnp.ones((n_corpus,), jnp.float32) * 0.01
     queries = jax.random.normal(jax.random.PRNGKey(1), (q_batch, dim), dtype=jnp.float32)
 
     @jax.jit
-    def search_loop(q, c):
-        def body(carry, _):
-            vals, idx = blocked_topk_scores(q + carry, c.astype(jnp.float32), k=k, block_size=131072)
-            return vals.mean() * 1e-9, None
+    def search_step(q, values, scales, seed):
+        vals, idx = quantized_blocked_topk(
+            q + seed * 1e-9, values, scales, k=k, block_size=131072, approx=True
+        )
+        return vals[:, 0].sum()
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
-        return total
+    log("compiling search")
+    t0 = time.perf_counter()
+    seed = search_step(queries, values, scales, jnp.float32(0.0))
+    _ = float(np.asarray(seed))
+    log(f"search compiled+warm in {time.perf_counter() - t0:.1f}s")
 
-    _ = float(np.asarray(search_loop(queries, corpus)))
     start = time.perf_counter()
-    _ = float(np.asarray(search_loop(queries, corpus)))
+    for _ in range(n_iters):
+        seed = search_step(queries, values, scales, seed)
+    _ = float(np.asarray(seed))
     elapsed = time.perf_counter() - start
     return q_batch * n_iters / elapsed
 
@@ -88,10 +107,14 @@ def bench_search(jax, n_corpus=1_000_000, dim=768, q_batch=64, k=1000, n_iters=1
 def main() -> None:
     import jax
 
+    log(f"devices: {jax.devices()}")
     psg_per_s = bench_encode(jax)
+    log(f"encode throughput: {psg_per_s:.1f} psg/s")
     try:
         qps = bench_search(jax)
-    except Exception:
+        log(f"search qps: {qps:.1f}")
+    except Exception as e:
+        log(f"search bench failed: {e}")
         qps = float("nan")
 
     baseline = 6900.0  # reference best encoding psg/s (A40, ONNX fp16)
