@@ -31,7 +31,7 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def bench_encode(jax, batch_size=256, seq_len=128, n_iters=10):
+def bench_encode(jax, batch_size=1024, seq_len=128, n_iters=10):
     import jax.numpy as jnp
 
     from matchmaker_tpu.models.bert_dot import BertDot
@@ -44,9 +44,8 @@ def bench_encode(jax, batch_size=256, seq_len=128, n_iters=10):
     ids = rng.integers(1000, 29000, size=(batch_size, seq_len)).astype(np.int32)
     mask = np.ones((batch_size, seq_len), np.float32)
     batch = {"query_ids": ids[:, :32], "query_mask": mask[:, :32], "doc_ids": ids, "doc_mask": mask}
-    log("init params (distilbert)")
-    params = jax.jit(model.init, backend="cpu")(jax.random.PRNGKey(0), batch)["params"]
-    params = jax.device_put(params)
+    log("init params (distilbert) on device")
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
 
     @jax.jit
     def encode_step(params, ids, mask, seed):
@@ -71,7 +70,7 @@ def bench_encode(jax, batch_size=256, seq_len=128, n_iters=10):
     return batch_size * n_iters / elapsed
 
 
-def bench_search(jax, n_corpus=1_000_000, dim=768, q_batch=64, k=1000, n_iters=10):
+def bench_search(jax, n_corpus=1_048_576, dim=768, q_batch=256, k=1000, n_iters=10):
     import jax.numpy as jnp
 
     from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
@@ -86,7 +85,7 @@ def bench_search(jax, n_corpus=1_000_000, dim=768, q_batch=64, k=1000, n_iters=1
     @jax.jit
     def search_step(q, values, scales, seed):
         vals, idx = quantized_blocked_topk(
-            q + seed * 1e-9, values, scales, k=k, block_size=131072, approx=True
+            q + seed * 1e-9, values, scales, k=k, block_size=262144, approx=True
         )
         return vals[:, 0].sum()
 

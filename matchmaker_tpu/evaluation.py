@@ -121,10 +121,17 @@ def test_model(
     eval_step, params, config, tokenizer, run_folder: str, test_name: str, test_config: dict
 ) -> Dict[str, float]:
     """End-of-training test evaluation; writes ranked output + metrics csv
-    (reference eval.py:379-413)."""
-    results, _ = evaluate_model(
-        eval_step, params, config, tokenizer, test_config["tsv"], use_cache=False
+    (reference eval.py:379-413); interpretability npz when
+    ``save_secondary_output`` is set (reference eval.py:415-428)."""
+    want_secondary = bool(test_config.get("save_secondary_output", False))
+    results, secondary = evaluate_model(
+        eval_step, params, config, tokenizer, test_config["tsv"], use_cache=False,
+        output_secondary=want_secondary,
     )
+    if want_secondary and secondary:
+        top_n = config.get_path("secondary_output.top_n", 100) if hasattr(config, "get_path") else 100
+        limited = dict(list(secondary.items())[: top_n * 10])
+        save_secondary_output(limited, os.path.join(run_folder, f"{test_name}-secondary.npz"))
     ranked = unrolled_to_ranked_result(results)
     save_sorted_results(results, os.path.join(run_folder, f"{test_name}-output.txt"))
     metrics: Dict[str, float] = {}

@@ -66,6 +66,9 @@ class Trainer:
         self.early_stopping = EarlyStopping(
             patience=config.get("early_stopping_patience", 30), mode="max"
         )
+        from matchmaker_tpu.obs.scalars import ScalarWriter
+
+        self.scalars = ScalarWriter(run_folder, config.get("enable_tensorboard", True))
         self.best_metric = -math.inf
         self.global_step = 0
         self._loss_csv = os.path.join(run_folder, "training-loss.csv")
@@ -74,6 +77,7 @@ class Trainer:
     def _log_loss(self, epoch: int, stats: Dict) -> None:
         exists = os.path.exists(self._loss_csv)
         host_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+        self.scalars.write(host_stats, self.global_step)
         with open(self._loss_csv, "a", newline="", encoding="utf-8") as f:
             w = csv.writer(f)
             keys = sorted(host_stats)
@@ -157,10 +161,20 @@ class Trainer:
                 loader = triple_training_loader(config, self.tokenizer, config["train_tsv"])
             if teacher is not None:
                 loader = teacher.wrap(loader)
+            recent_failures = []
             for batch in device_prefetch(loader, sharding=self.batch_sharding):
-                self.params, self.opt_state, stats = self.train_step(
-                    self.params, self.opt_state, batch
-                )
+                try:
+                    self.params, self.opt_state, stats = self.train_step(
+                        self.params, self.opt_state, batch
+                    )
+                except Exception as e:  # device OOM / transient runtime failure:
+                    # skip the batch (reference CUDA-OOM handling, train.py:578-593)
+                    recent_failures = [s for s in recent_failures if self.global_step - s < 4]
+                    recent_failures.append(self.global_step)
+                    print(f"[trainer] step {self.global_step} failed ({type(e).__name__}); skipping batch")
+                    if len(recent_failures) >= 2:
+                        raise
+                    continue
                 self.global_step += 1
                 if self.global_step % 100 == 0:
                     self._log_loss(epoch, stats)
