@@ -48,6 +48,8 @@ def triple_training_loader(
     max_q = config.get("max_query_length", 30)
     max_d = config.get("max_doc_length", 200)
     with_scores = config.get("train_pairwise_distillation", False)
+    with_qa = config.get("train_qa_spans", False)
+    n_qa_spans = config.get("max_qa_spans", 4)
     concat = _is_concatenated(config)
     q_aug = config.get("query_augment_mask_number", 0)
 
@@ -63,9 +65,40 @@ def triple_training_loader(
     for sample in read_triples(
         path,
         with_scores=with_scores,
+        with_qa=with_qa,
         augmentation=config.get("train_data_augment", "none"),
         seed=config.get("random_seed", 42),
     ):
+        if with_qa:
+            # QA multi-task: concatenated [q-enc ‖ d-enc] with char-span → token
+            # labels on the positive doc (reference independent_training_loader
+            # qa path + concatenated_reranking_loader.py:96-131)
+            from matchmaker_tpu.data.tokenization import char_spans_to_token_labels
+
+            q_ids, q_mask = tokenizer.encode(sample.query, max_q)
+            p_ids, p_mask, p_offsets = tokenizer.encode_with_offsets(sample.doc_pos, max_d)
+            n_ids, n_mask = tokenizer.encode(sample.doc_neg, max_d)
+            qa_start, qa_end, has_answer = char_spans_to_token_labels(
+                sample.qa_spans_pos, p_offsets, position_offset=max_q, max_spans=n_qa_spans
+            )
+            type_q = np.zeros(max_q, np.int32)
+            type_pd = (p_mask > 0).astype(np.int32)
+            type_nd = (n_mask > 0).astype(np.int32)
+            row = {
+                "pos_ids": np.concatenate([q_ids, p_ids]),
+                "pos_mask": np.concatenate([q_mask, p_mask]),
+                "pos_type_ids": np.concatenate([type_q, type_pd]),
+                "neg_ids": np.concatenate([q_ids, n_ids]),
+                "neg_mask": np.concatenate([q_mask, n_mask]),
+                "neg_type_ids": np.concatenate([type_q, type_nd]),
+                "qa_start": qa_start,
+                "qa_end": qa_end,
+                "qa_has_answer": np.int32(has_answer),
+            }
+            buf.append(row)
+            if len(buf) == batch_size:
+                yield flush()
+            continue
         if concat:
             pos_ids, pos_mask, pos_type = tokenizer.encode_pair(sample.query, sample.doc_pos, max_q, max_d)
             neg_ids, neg_mask, neg_type = tokenizer.encode_pair(sample.query, sample.doc_neg, max_q, max_d)

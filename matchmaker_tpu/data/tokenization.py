@@ -111,8 +111,51 @@ class VocabTokenizer:
             mask &= ids != OOV_ID
         return ids, mask.astype(np.float32)
 
+    def encode_with_offsets(self, text: str, max_length: int):
+        ids, mask = self.encode(text, max_length)
+        offsets = [(m.start(), m.end()) for m in _WORD_RE.finditer(text.lower())][:max_length]
+        offsets += [None] * (max_length - len(offsets))
+        return ids, mask, offsets
+
     def encode_pair(self, query: str, doc: str, max_q: int, max_d: int):
         raise NotImplementedError("embedding-based models use independent inputs")
+
+
+def char_spans_to_token_labels(
+    spans_str: str,
+    offsets,  # list of (char_start, char_end) per doc token, None for specials
+    position_offset: int,
+    max_spans: int = 4,
+):
+    """``"start,end start2,end2"`` char spans → fixed-size token-index label
+    arrays (padding -1) + answerability flag (reference
+    concatenated_reranking_loader.py:96-131)."""
+    starts = np.full(max_spans, -1, dtype=np.int32)
+    ends = np.full(max_spans, -1, dtype=np.int32)
+    has_answer = 0
+    if spans_str:
+        has_answer = 1
+        for si, span in enumerate(spans_str.split()[:max_spans]):
+            s_char, e_char = (int(x) for x in span.split(",")[:2])
+            got_start = False
+            last_i = None
+            for i, off in enumerate(offsets):
+                if off is None:
+                    continue
+                _, tok_end = off
+                last_i = i
+                if not got_start and tok_end >= s_char:
+                    starts[si] = position_offset + i
+                    got_start = True
+                if tok_end >= e_char:
+                    ends[si] = position_offset + i
+                    break
+            else:
+                if got_start and last_i is not None:  # span cut by truncation
+                    ends[si] = position_offset + last_i
+            if starts[si] >= 0 and ends[si] < 0:
+                ends[si] = starts[si]
+    return starts, ends, has_answer
 
 
 class HuggingfaceTokenizer:
@@ -184,6 +227,19 @@ class HuggingfaceTokenizer:
         )
         return out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.float32)
 
+    def encode_with_offsets(self, text: str, max_length: int):
+        out = self.tok(
+            text, max_length=max_length, truncation=True, padding="max_length",
+            return_tensors="np", return_offsets_mapping=True,
+        )
+        ids = out["input_ids"][0].astype(np.int32)
+        mask = out["attention_mask"][0].astype(np.float32)
+        offsets = [
+            None if (s == 0 and e == 0) else (int(s), int(e))
+            for s, e in out["offset_mapping"][0]
+        ]
+        return ids, mask, offsets
+
 
 class HashBertTokenizer:
     """Offline BERT-style tokenizer: word split + deterministic hash vocab.
@@ -227,6 +283,13 @@ class HashBertTokenizer:
         ids[: len(toks)] = toks
         mask = (ids != self.PAD).astype(np.float32)
         return ids, mask
+
+    def encode_with_offsets(self, text: str, max_length: int):
+        ids, mask = self.encode(text, max_length)
+        words = [(m.start(), m.end()) for m in _WORD_RE.finditer(text.lower())][: max_length - 2]
+        offsets: list = [None] + words + [None]  # CLS ... SEP
+        offsets += [None] * (max_length - len(offsets))
+        return ids, mask, offsets[:max_length]
 
     def encode_pair(self, query: str, doc: str, max_q: int, max_d: int):
         total = max_q + max_d

@@ -148,6 +148,56 @@ def test_model(
     return metrics
 
 
+def qa_evaluate(
+    eval_step,
+    params,
+    config,
+    tokenizer,
+    tuples_path: str,
+    gold_answers: Dict[str, List[str]],
+) -> Dict[str, float]:
+    """Extractive-QA answer eval: predict the best span per (query, doc),
+    keep the highest-scoring answerable doc per query, score SQuAD EM/F1
+    (reference eval.py:343-372). ``gold_answers``: {query_id: [answer ...]}."""
+    import numpy as np
+
+    from matchmaker_tpu.data.readers import read_reranking_tuples
+    from matchmaker_tpu.metrics import qa_metric_battery
+
+    max_q = config.get("max_query_length", 30)
+    max_d = config.get("max_doc_length", 200)
+    best_pred: Dict[str, Tuple[float, str]] = {}
+
+    for sample in read_reranking_tuples(tuples_path):
+        q_ids, q_mask = tokenizer.encode(sample.query, max_q)
+        d_ids, d_mask, offsets = tokenizer.encode_with_offsets(sample.doc, max_d)
+        batch = {
+            "seq_ids": np.concatenate([q_ids, d_ids])[None, :],
+            "seq_mask": np.concatenate([q_mask, d_mask])[None, :],
+            "seq_type_ids": np.concatenate(
+                [np.zeros(max_q, np.int32), (d_mask > 0).astype(np.int32)]
+            )[None, :],
+        }
+        out = eval_step(params, batch)
+        if "qa_logits_start" not in out:
+            raise ValueError("model has no QA head (set train_qa_spans)")
+        start_logits = np.asarray(out["qa_logits_start"])[0, max_q:]
+        end_logits = np.asarray(out["qa_logits_end"])[0, max_q:]
+        s = int(start_logits.argmax())
+        e = int(end_logits[s:].argmax()) + s
+        span_score = float(start_logits[s] + end_logits[e])
+        if offsets[s] is None or offsets[e] is None:
+            answer = ""
+        else:
+            answer = sample.doc[offsets[s][0] : offsets[e][1]]
+        prev = best_pred.get(sample.query_id)
+        if prev is None or span_score > prev[0]:
+            best_pred[sample.query_id] = (span_score, answer)
+
+    predictions = {qid: ans for qid, (_, ans) in best_pred.items()}
+    return qa_metric_battery(predictions, gold_answers)
+
+
 def save_sorted_results(
     results: Dict[str, List[Tuple[str, float]]], path: str, until_rank: int = -1
 ) -> None:

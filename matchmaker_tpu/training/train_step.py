@@ -49,6 +49,7 @@ def make_loss_fn(model, losses: LossBundle, config):
     sparsity_weight = config.get("minimize_sparsity_weight", 0.0)
     ib_main_weight = config.get("in_batch_main_weight", 1.0)
     ib_weight = config.get("in_batch_neg_weight", 1.0)
+    qa_weight = config.get("qa_loss_lambda", 0.2)
 
     def loss_fn(params, batch):
         pos_batch, neg_batch = split_triple_batch(batch)
@@ -79,6 +80,26 @@ def make_loss_fn(model, losses: LossBundle, config):
             sel = (pos_out["selection_loss"] + neg_out["selection_loss"]) / 2.0
             stats["selection_loss"] = sel
             loss = loss + sel
+
+        if losses.qa_loss is not None and "qa_logits_start" in pos_out:
+            # spans exist only on the positive doc; the end logits are shared
+            # across spans ((B, L) broadcast per span slot)
+            span_loss, answer_loss = losses.qa_loss(
+                pos_out["qa_logits_start"],
+                pos_out["qa_logits_end"],
+                batch["qa_start"],
+                batch["qa_end"],
+                pos_out.get("answerability_logits"),
+                batch.get("qa_has_answer"),
+            )
+            qa_total = 0.0
+            if span_loss is not None:
+                qa_total = qa_total + span_loss
+                stats["qa_span_loss"] = span_loss
+            if answer_loss is not None:
+                qa_total = qa_total + answer_loss
+                stats["qa_answerability_loss"] = answer_loss
+            loss = loss + qa_weight * qa_total
 
         if losses.inbatch_loss is not None and "query_vecs" in pos_out:
             q = pos_out["query_vecs"]  # (B, D) single-vector / (B, Lq, D) ColBERT
