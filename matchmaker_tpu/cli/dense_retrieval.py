@@ -86,10 +86,19 @@ def run(mode: str, config, run_folder: str) -> int:
     indexer = build_index(config, mesh)
     if "index" in mode:
         perf.start_block("indexing")
-        vectors, row_ids = load_encoded(encode_folder)
-        indexer.prepare(vectors.shape[1])
-        indexer.index(row_ids, vectors)
-        perf.stop_block("indexing", vectors.shape[0])
+        from matchmaker_tpu.retrieval.indexes import StreamingFlatIndex
+
+        if isinstance(indexer, StreamingFlatIndex):
+            # >RAM corpora: the encode blocks on disk ARE the index
+            indexer.encode_folder = encode_folder
+            indexer.index_from_folder(encode_folder)
+            n_rows = len(indexer._row_ids)
+        else:
+            vectors, row_ids = load_encoded(encode_folder)
+            indexer.prepare(vectors.shape[1])
+            indexer.index(row_ids, vectors)
+            n_rows = vectors.shape[0]
+        perf.stop_block("indexing", n_rows)
         indexer.save(index_folder)
     else:
         indexer.load(index_folder)

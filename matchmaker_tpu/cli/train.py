@@ -39,7 +39,12 @@ def main() -> int:
     try:
         trainer = Trainer(config, run_folder)
         perf.stop_block("startup")
-        if evaluate_only:
+        if evaluate_only and config.get("train_mode", "Evaluate") == "resume":
+            # true mid-run resume from the saved train state (needs
+            # save_train_state: true in the original run)
+            trainer.resume_from_train_state()
+            trainer.train()
+        elif evaluate_only:
             best = os.path.join(run_folder, "best-model.flax")
             if os.path.exists(best):
                 from matchmaker_tpu.training.checkpoints import load_params

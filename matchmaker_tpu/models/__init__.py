@@ -97,6 +97,16 @@ def get_model(config, tokenizer) -> Ranker:
             tokenizer.vocab,
             config.get("token_embedding_size", 300),
         )
+    elif config.get("token_embedder_type") == "bert_embedding":
+        # use only a BERT checkpoint's word-embedding table as static
+        # embeddings (reference modules/bert_embedding_token_embedder.py:21-83)
+        from matchmaker_tpu.models.hf_import import encoder_checkpoint_available, load_hf_encoder
+
+        name = str(config.get("bert_pretrained_model", ""))
+        if name and encoder_checkpoint_available(name):
+            enc_cfg, enc_params = load_hf_encoder(name)
+            pretrained = np.asarray(enc_params["word_embeddings"]["embedding"])
+            cfg["token_embedding_size"] = pretrained.shape[1]
 
     if name not in _REGISTRY:
         raise ValueError(f"Model not known: {config['model']}")

@@ -324,14 +324,102 @@ class DynamicClusterIndex(BaseNNIndexer):
         self._ids = data["ids"]
 
 
+class StreamingFlatIndex(BaseNNIndexer):
+    """Exact MIPS over a larger-than-HBM corpus streamed from disk blocks.
+
+    TPU equivalent of faiss's sharded on-disk index
+    (FaissShardedOnDiskIdIndexer, faiss_indices.py:147-293): the encode phase's
+    memmapped ``token_reps_N.npy`` blocks ARE the index — search streams each
+    block host→HBM (double-buffered by jax's async dispatch), computes the
+    block's top-k on device, and merges per-block partials host-side. Capacity
+    is bounded by disk, not HBM."""
+
+    def __init__(self, config=None, mesh=None):
+        super().__init__(config)
+        self.encode_folder: Optional[str] = (config or {}).get("encode_folder")
+        self._blocks: list = []
+        self._row_ids: Optional[np.ndarray] = None
+
+    def index_from_folder(self, folder: str) -> None:
+        import json as _json
+
+        from matchmaker_tpu.retrieval.encode import load_encoded  # noqa: F401 (format doc)
+
+        with open(os.path.join(folder, "encode_meta.json")) as f:
+            meta = _json.load(f)
+        self._blocks = [
+            np.load(os.path.join(folder, f"token_reps_{i}.npy"), mmap_mode="r")
+            for i in range(meta["blocks"])
+        ]
+        data = np.load(os.path.join(folder, "doc_infos.npz"), allow_pickle=True)
+        ids, spans = data["ids"], data["spans"]
+        total = sum(b.shape[0] for b in self._blocks)
+        row_ids = np.empty(total, dtype=ids.dtype)
+        offsets = np.cumsum([0] + [b.shape[0] for b in self._blocks])
+        for sid, (block, start, end) in zip(ids, spans):
+            base = offsets[block]
+            row_ids[base + start : base + end] = sid
+        self._row_ids = row_ids
+        self._offsets = offsets
+
+    def index(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        # in-memory fallback: treat the given matrix as a single block
+        self._blocks = [np.asarray(vectors, dtype=self.dtype)]
+        self._row_ids = np.asarray(ids)
+        self._offsets = np.array([0, len(vectors)])
+
+    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
+
+        @jax.jit
+        def block_topk(q, block):
+            scores = jnp.einsum("qd,nd->qn", q, block, preferred_element_type=jnp.float32)
+            k = min(top_n, block.shape[1 - 1])
+            return jax.lax.top_k(scores, k)
+
+        all_vals, all_idx = [], []
+        for bi, block in enumerate(self._blocks):
+            dev = jnp.asarray(np.asarray(block), dtype=jnp.float32)
+            v, i = block_topk(q, dev)
+            all_vals.append(np.asarray(v))
+            all_idx.append(np.asarray(i) + self._offsets[bi])
+        vals = np.concatenate(all_vals, axis=1)
+        idx = np.concatenate(all_idx, axis=1)
+        order = np.argsort(-vals, axis=1)[:, :top_n]
+        vals = np.take_along_axis(vals, order, axis=1)
+        idx = np.take_along_axis(idx, order, axis=1)
+        if vals.shape[1] < top_n:
+            pad = top_n - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)))
+        return vals, self._row_ids[idx]
+
+    def save(self, folder: str) -> None:
+        # the encode folder already is the on-disk index; record the pointer
+        os.makedirs(folder, exist_ok=True)
+        with open(os.path.join(folder, "streaming_meta.json"), "w") as f:
+            import json as _json
+
+            _json.dump({"encode_folder": self.encode_folder}, f)
+
+    def load(self, folder: str) -> None:
+        import json as _json
+
+        with open(os.path.join(folder, "streaming_meta.json")) as f:
+            self.encode_folder = _json.load(f)["encode_folder"]
+        self.index_from_folder(self.encode_folder)
+
+
 def build_index(config, mesh=None) -> BaseNNIndexer:
     """Index factory keyed on ``faiss_index_type`` (reference
     dense_retrieval.py:308-320); hnsw/ontology types map onto the IVF path."""
     kind = config.get("faiss_index_type", "flat")
-    if kind in ("flat", "exact"):
+    if kind in ("flat", "exact", "full"):
         return FlatIndex(config, mesh)
-    if kind in ("ivf", "hnsw", "scann", "sharded_ondisk"):
+    if kind in ("ivf", "hnsw", "scann"):
         return IVFIndex(config, mesh)
+    if kind in ("sharded_ondisk", "streaming"):
+        return StreamingFlatIndex(config, mesh)
     if kind == "dynamic":
         return DynamicClusterIndex(config)
     raise ValueError(f"unknown faiss_index_type: {kind}")

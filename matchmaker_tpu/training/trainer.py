@@ -113,11 +113,40 @@ class Trainer:
                 epoch,
                 self.global_step,
             )
+        if self.config.get("save_train_state", False):
+            # full params+optimizer+step snapshot for true mid-run resume
+            # (beyond the reference, which restarts eval-only — SURVEY.md §5.4)
+            self._train_state_checkpointer().save(
+                self.global_step,
+                {"params": self.params, "opt_state": self.opt_state, "step": self.global_step},
+            )
         min_steps = self.config.get("min_steps_training", -1)
         stop = self.early_stopping.step(metric_value)
         if stop and min_steps > 0 and self.global_step < min_steps:
             return False
         return stop
+
+    def _train_state_checkpointer(self):
+        if not hasattr(self, "_ts_ckpt"):
+            from matchmaker_tpu.training.checkpoints import TrainStateCheckpointer
+
+            self._ts_ckpt = TrainStateCheckpointer(os.path.join(self.run_folder, "train_state"))
+        return self._ts_ckpt
+
+    def resume_from_train_state(self) -> bool:
+        """Restore params+optimizer+step from the latest snapshot; True if found."""
+        ckpt = self._train_state_checkpointer()
+        step = ckpt.latest_step()
+        if step is None:
+            return False
+        state = ckpt.restore(
+            step, {"params": self.params, "opt_state": self.opt_state, "step": 0}
+        )
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.global_step = int(state["step"])
+        print(f"[trainer] resumed train state at step {self.global_step}")
+        return True
 
     # ------------------------------------------------------------------
     def train(self) -> None:

@@ -155,3 +155,34 @@ def test_encode_index_search_end_to_end(tmp_path, rng, eight_devices):
     assert metrics["QueriesRanked"] == 12
     assert metrics["MRR@10"] > 0.95, metrics["MRR@10"]
     assert metrics["Recall@10"] > 0.95
+
+
+def test_streaming_index_matches_flat(rng, tmp_path, eight_devices):
+    """StreamingFlatIndex over disk blocks == in-memory exact search."""
+    from matchmaker_tpu.retrieval.encode import BlockWriter
+    from matchmaker_tpu.retrieval.indexes import StreamingFlatIndex
+    import json
+
+    vectors = rng.normal(size=(90, 16)).astype(np.float32)
+    folder = str(tmp_path / "enc")
+    writer = BlockWriter(folder, 16, block_rows=40, dtype=np.float32)
+    infos = {}
+    for i in range(90):
+        block, start, end = writer.append(vectors[i : i + 1])
+        infos[f"d{i}"] = (block, start, end)
+    writer.flush()
+    np.savez_compressed(
+        os.path.join(folder, "doc_infos.npz"),
+        ids=np.array(list(infos.keys())),
+        spans=np.array(list(infos.values()), dtype=np.int64),
+    )
+    with open(os.path.join(folder, "encode_meta.json"), "w") as f:
+        json.dump({"dim": 16, "dtype": "float32", "blocks": writer.block_num, "sequences": 90}, f)
+
+    index = StreamingFlatIndex({"token_dtype": "float32"})
+    index.index_from_folder(folder)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    vals, ids = index.search(q, 7)
+    ref = _numpy_topk(q, vectors, 7)
+    for qi in range(3):
+        assert [f"d{i}" for i in ref[1][qi]] == list(ids[qi])

@@ -100,3 +100,27 @@ def test_trainer_full_loop_writes_artifacts(tiny, tmp_path, eight_devices):
     assert os.path.exists(os.path.join(run_folder, "test-tiny-metrics.csv"))
     assert os.path.exists(os.path.join(run_folder, "efficiency-metrics.json"))
     assert os.path.exists(os.path.join(run_folder, "best-info.csv"))
+
+
+def test_train_state_save_and_resume(tiny, tmp_path, eight_devices):
+    """Full params+optimizer+step snapshot restores exactly."""
+    run_folder = str(tmp_path / "run_resume")
+    os.makedirs(run_folder)
+    config = _config(tiny, str(tmp_path))
+    config["epochs"] = 1
+    config["save_train_state"] = True
+    trainer = Trainer(config, run_folder)
+    trainer.train()
+    assert trainer.global_step > 0
+    saved_step = trainer.global_step
+
+    trainer2 = Trainer(config, run_folder)
+    assert trainer2.resume_from_train_state()
+    assert trainer2.global_step == saved_step
+    # params identical to the trained ones
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves(trainer.params)
+    leaves2 = jax.tree_util.tree_leaves(trainer2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
