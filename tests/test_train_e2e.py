@@ -124,3 +124,36 @@ def test_train_state_save_and_resume(tiny, tmp_path, eight_devices):
     leaves2 = jax.tree_util.tree_leaves(trainer2.params)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_validate_model_cs_n_sweep(tiny, tmp_path, eight_devices):
+    """cs@N candidate-depth sweep through the validation path."""
+    run_folder = str(tmp_path / "run_csn")
+    os.makedirs(run_folder)
+    config = _config(tiny, str(tmp_path))
+    trainer = Trainer(config, run_folder)
+
+    # candidate file: every val doc with a synthetic first-stage rank
+    import itertools
+    from matchmaker_tpu.data.readers import read_reranking_tuples
+
+    cand_path = str(tmp_path / "cands.txt")
+    per_q = {}
+    for s in read_reranking_tuples(tiny["val_tsv"]):
+        per_q.setdefault(s.query_id, []).append(s.doc_id)
+    with open(cand_path, "w") as f:
+        for qid, dids in per_q.items():
+            for rank, did in enumerate(dids, start=1):
+                f.write(f"{qid} {did} {rank} {10 - rank}\n")
+
+    vcfg = dict(config["validation_cont"])
+    vcfg["candidate_set_path"] = cand_path
+    vcfg["candidate_set_from_to"] = [2, 10]
+    from matchmaker_tpu.evaluation import validate_model
+
+    metrics, value, _ = validate_model(
+        "cont", trainer.eval_step, trainer.params, config, trainer.tokenizer,
+        run_folder, vcfg, use_cache=False,
+    )
+    assert "cs@n" in metrics and 2 <= metrics["cs@n"] <= 10
+    assert os.path.exists(os.path.join(run_folder, "validation-metrics-cont-cs_5.csv"))
