@@ -227,6 +227,18 @@ class Trainer:
         self.perf.save_summary(os.path.join(self.run_folder, "efficiency-metrics.json"))
         self.perf.print_summary()
 
+        if self.config.get("run_dense_retrieval_eval", False):
+            # auto-launch full-corpus retrieval on the freshly trained model
+            # (reference train.py:758-763 runs it as a subprocess; here it is
+            # an in-process call on the same devices)
+            from matchmaker_tpu.cli.dense_retrieval import run as run_dense_retrieval
+
+            dr_config = dict(self.config)
+            dr_config["trained_model"] = self.run_folder
+            dr_folder = os.path.join(self.run_folder, "dense-retrieval")
+            os.makedirs(dr_folder, exist_ok=True)
+            run_dense_retrieval("encode+index+search", dr_config, dr_folder)
+
     # ------------------------------------------------------------------
     def final_evaluations(self) -> None:
         config = self.config

@@ -157,3 +157,37 @@ def test_validate_model_cs_n_sweep(tiny, tmp_path, eight_devices):
     )
     assert "cs@n" in metrics and 2 <= metrics["cs@n"] <= 10
     assert os.path.exists(os.path.join(run_folder, "validation-metrics-cont-cs_5.csv"))
+
+
+def test_auto_dense_retrieval_after_training(tiny, tmp_path, eight_devices):
+    """run_dense_retrieval_eval auto-launches encode+index+search post-training
+    (reference train.py:758-763)."""
+    run_folder = str(tmp_path / "run_dr")
+    os.makedirs(run_folder)
+    config = _config(tiny, str(tmp_path))
+    config.update({
+        "epochs": 2,
+        "run_dense_retrieval_eval": True,
+        "model": "bert_dot",  # dense-capable model
+        "token_embedder_type": "huggingface_bpe",
+        "bert_pretrained_model": "tiny-test",
+        "use_fp16": False,
+        "collection_tsv": tiny["collection"],
+        "collection_batch_size": 16,
+        "query_batch_size": 16,
+        "token_dtype": "float32",
+        "token_block_size": 64,
+        "faiss_index_type": "flat",
+        "query_sets": {
+            "tiny": {"queries_tsv": tiny["queries"], "qrels": tiny["qrels"], "top_n": 10}
+        },
+    })
+    del config["vocab_path"]
+    from matchmaker_tpu.config import auto_fill, Config
+
+    config = Config(auto_fill({**config, "model_input_type": "auto"}))
+    trainer = Trainer(config, run_folder)
+    trainer.train()
+    dr = os.path.join(run_folder, "dense-retrieval")
+    assert os.path.exists(os.path.join(dr, "tiny-output.txt"))
+    assert os.path.exists(os.path.join(dr, "tiny-metrics.csv"))
