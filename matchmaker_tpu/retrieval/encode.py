@@ -91,16 +91,26 @@ def encode_corpus(
         reps = np.asarray(encode_fn(params, batch["seq_ids"], batch["seq_mask"]))
         if writer is None:
             writer = BlockWriter(out_folder, reps.shape[-1], block_rows, dtype)
+        if reps.ndim == 2:
+            # single-vector models: one bulk write for the whole batch chunk
+            rows = reps[: len(seq_ids)].astype(dtype)
+            i = 0
+            while i < len(seq_ids):
+                space = writer.block_rows - writer.row_in_block
+                take = min(space, len(seq_ids) - i) or min(writer.block_rows, len(seq_ids) - i)
+                block, start, _ = writer.append(rows[i : i + take])
+                for j, sid in enumerate(seq_ids[i : i + take]):
+                    doc_infos[sid] = (block, start + j, start + j + 1)
+                i += take
+            n_seqs += len(seq_ids)
+            continue
         for i, sid in enumerate(seq_ids):
             vecs = reps[i]
-            if vecs.ndim == 1:
-                vecs = vecs[None, :]
-            else:
-                # multi-vector models: keep only non-zero (unmasked) rows
-                keep = np.abs(vecs).sum(axis=-1) > 0
-                vecs = vecs[keep]
-                if vecs.shape[0] == 0:
-                    vecs = reps[i][:1]
+            # multi-vector models: keep only non-zero (unmasked) rows
+            keep = np.abs(vecs).sum(axis=-1) > 0
+            vecs = vecs[keep]
+            if vecs.shape[0] == 0:
+                vecs = reps[i][:1]
             block, start, end = writer.append(vecs.astype(dtype))
             doc_infos[sid] = (block, start, end)
             n_seqs += 1

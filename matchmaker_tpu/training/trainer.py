@@ -73,6 +73,16 @@ class Trainer:
         self.global_step = 0
         self._loss_csv = os.path.join(run_folder, "training-loss.csv")
 
+        # startup smoke: param counts per top-level subtree ("just test that it
+        # works" — reference get_param_stats, train.py:240-244)
+        counts = {
+            k: sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(v))
+            for k, v in self.params.items()
+        }
+        total = sum(counts.values())
+        print(f"[trainer] model '{config.get('model')}' params: {total:,} "
+              + " ".join(f"{k}={v:,}" for k, v in sorted(counts.items())))
+
     # ------------------------------------------------------------------
     def _log_loss(self, epoch: int, stats: Dict) -> None:
         exists = os.path.exists(self._loss_csv)
