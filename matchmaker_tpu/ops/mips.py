@@ -20,17 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-
-def _merge_topk(
-    vals_a: jnp.ndarray, idx_a: jnp.ndarray, vals_b: jnp.ndarray, idx_b: jnp.ndarray, k: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Merge two (Q, ka)/(Q, kb) top-k sets into (Q, k)."""
-    vals = jnp.concatenate([vals_a, vals_b], axis=1)
-    idx = jnp.concatenate([idx_a, idx_b], axis=1)
-    best_v, best_pos = jax.lax.top_k(vals, k)
-    return best_v, jnp.take_along_axis(idx, best_pos, axis=1)
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def blocked_topk_scores(

@@ -150,27 +150,34 @@ class FlatIndex(BaseNNIndexer):
 
 
 def kmeans(
-    vectors: jnp.ndarray, k: int, iters: int = 10, seed: int = 42, block_size: int = 65536
+    vectors: jnp.ndarray, k: int, iters: int = 10, seed: int = 42, block_size: int = 131072
 ) -> jnp.ndarray:
     """On-device k-means (replaces faiss IVF training, faiss_indices.py:120-127).
 
-    Random init + Lloyd iterations; each assignment step is one blocked
-    matmul-argmax over the corpus."""
+    Random init + Lloyd iterations. Assignment runs in corpus blocks (peak
+    memory O(block·k), not O(N·k)) and the centroid update uses segment sums —
+    scales to millions of vectors × thousands of centroids."""
     n, d = vectors.shape
     key = jax.random.PRNGKey(seed)
     centroids = vectors[jax.random.choice(key, n, (k,), replace=False)]
 
+    n_blocks = -(-n // block_size)
+    padded_n = n_blocks * block_size
+    padded = jnp.pad(vectors, ((0, padded_n - n), (0, 0)))
+    blocks = padded.reshape(n_blocks, block_size, d)
+
     @jax.jit
     def step(centroids):
-        # assign: nearest centroid by inner product on normalized distance
-        # use squared L2: |x - c|^2 = |x|^2 - 2 x.c + |c|^2 → argmin over c
-        x_sq = (vectors**2).sum(-1, keepdims=True)
         c_sq = (centroids**2).sum(-1)
-        scores = x_sq - 2 * vectors @ centroids.T + c_sq[None, :]
-        assign = jnp.argmin(scores, axis=1)
-        one_hot = jax.nn.one_hot(assign, k, dtype=vectors.dtype)
-        sums = one_hot.T @ vectors
-        counts = one_hot.sum(axis=0)[:, None]
+
+        def assign_block(block):
+            # squared L2 via |x|² - 2 x·c + |c|² (x² constant per row → dropped)
+            scores = -2 * block @ centroids.T + c_sq[None, :]
+            return jnp.argmin(scores, axis=1)
+
+        assign = jax.lax.map(assign_block, blocks).reshape(padded_n)[:n]
+        sums = jax.ops.segment_sum(vectors, assign, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones((n, 1), vectors.dtype), assign, num_segments=k)
         new_centroids = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
         return new_centroids, assign
 
@@ -291,12 +298,21 @@ class DynamicClusterIndex(BaseNNIndexer):
         self._centroids = np.asarray(centroids)
         self._assignments = np.asarray(assign)
 
-    def assign(self, vectors: np.ndarray) -> np.ndarray:
-        """Nearest centroid id per vector (L2, matching k-means training)."""
-        v = jnp.asarray(np.asarray(vectors, np.float32))
+    def assign(self, vectors: np.ndarray, block: int = 65536) -> np.ndarray:
+        """Nearest centroid id per vector (L2, matching k-means training);
+        blocked so memory stays O(block × n_clusters)."""
         c = jnp.asarray(self._centroids)
-        scores = (v**2).sum(-1, keepdims=True) - 2 * v @ c.T + (c**2).sum(-1)[None, :]
-        return np.asarray(jnp.argmin(scores, axis=1))
+        c_sq = (c**2).sum(-1)
+
+        @jax.jit
+        def assign_block(v):
+            return jnp.argmin(-2 * v @ c.T + c_sq[None, :], axis=1)
+
+        out = []
+        vectors = np.asarray(vectors, np.float32)
+        for i in range(0, len(vectors), block):
+            out.append(np.asarray(assign_block(jnp.asarray(vectors[i : i + block]))))
+        return np.concatenate(out)
 
     def cluster_members(self, cluster_id: int) -> np.ndarray:
         return self._ids[self._assignments == cluster_id]

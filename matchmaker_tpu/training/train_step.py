@@ -54,6 +54,8 @@ def make_loss_fn(model, losses: LossBundle, config):
     def loss_fn(params, batch):
         pos_batch, neg_batch = split_triple_batch(batch)
         valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(pos_batch[next(iter(pos_batch))].shape[0], dtype=jnp.float32)
         pos_out = model.apply({"params": params}, pos_batch)
         neg_out = model.apply({"params": params}, neg_batch)
         pos_score, neg_score = pos_out["score"], neg_out["score"]
