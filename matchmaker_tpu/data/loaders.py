@@ -99,6 +99,10 @@ def triple_training_loader(
             if len(buf) == batch_size:
                 yield flush()
             continue
+        if sample.pos_title and config.get("use_title_body_sep", False):
+            # title-aware documents (reference use_title_body_sep semantics)
+            sample.doc_pos = f"{sample.pos_title} {sample.doc_pos}"
+            sample.doc_neg = f"{sample.neg_title} {sample.doc_neg}"
         if concat:
             pos_ids, pos_mask, pos_type = tokenizer.encode_pair(sample.query, sample.doc_pos, max_q, max_d)
             neg_ids, neg_mask, neg_type = tokenizer.encode_pair(sample.query, sample.doc_neg, max_q, max_d)

@@ -66,9 +66,13 @@ def snapshot_source(run_folder: str) -> None:
 
 
 def prepare_experiment(base_path: str, run_name: str, config: Mapping[str, Any]) -> str:
-    """Create ``<base_path>/<YYYY-MM-DD_HHMM>_<run_name>/`` and persist config + source."""
+    """Create ``<base_path>/<YYYY-MM-DD_HHMMSS>_<run_name>/`` and persist config + source."""
     stamp = time.strftime("%Y-%m-%d_%H%M%S")
     run_folder = os.path.join(base_path, f"{stamp}_{run_name}")
+    suffix = 0
+    while os.path.exists(run_folder):  # same-second collision
+        suffix += 1
+        run_folder = os.path.join(base_path, f"{stamp}_{run_name}-{suffix}")
     os.makedirs(run_folder, exist_ok=False)
     save_config(config, os.path.join(run_folder, "config.yaml"))
     snapshot_source(run_folder)

@@ -39,6 +39,14 @@ class PerformanceMonitor:
     def start_block(self, category: str) -> None:
         self._open[category] = time.perf_counter()
 
+    def capture_trace(self, log_dir: str):
+        """Context manager: capture a jax.profiler trace (xplane) for a block —
+        the TPU analog of the reference's commented pprofile hooks
+        (dense_retrieval.py:217-218)."""
+        import jax
+
+        return jax.profiler.trace(log_dir)
+
     def stop_block(self, category: str, instances: int = 1, flops: float = 0.0) -> None:
         start = self._open.pop(category, None)
         if start is None:
