@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 from matchmaker_tpu.models.base import Batch, Output, Ranker

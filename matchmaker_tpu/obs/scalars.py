@@ -8,7 +8,7 @@ mirrors every scalar to both sinks, gated on tensorboard availability.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 
 class ScalarWriter:

@@ -11,24 +11,32 @@ multiple torch optimizers — a single pytree update fuses into the jitted step.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import optax
 
 
+_ENCODER_TOWERS = ("encoder", "query_encoder", "doc_encoder")
+
+
 def label_params(params, config) -> Any:
     """Label each param leaf: 'embedding' (token table), 'encoder' (pre-trained
-    transformer), or 'head' (everything else)."""
+    transformer towers → param_group0 lr), or 'head' (everything else →
+    param_group1 lr). ``param_group1_names`` path substrings force 'head'
+    (reference param grouping, train.py:115-142)."""
     import jax
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    group1_names = tuple(config.get("param_group1_names", []) or [])
 
     def label_for(path) -> str:
-        keys = [getattr(p, "key", str(p)) for p in path]
-        joined = "/".join(str(k) for k in keys)
+        keys = [str(getattr(p, "key", p)) for p in path]
+        joined = "/".join(keys)
+        if group1_names and any(n in joined for n in group1_names):
+            return "head"
         if "token_embedding" in joined:
             return "embedding"
-        if "bert" in joined or "encoder_stack" in joined:
+        if keys and keys[0] in _ENCODER_TOWERS:
             return "encoder"
         return "head"
 

@@ -113,3 +113,27 @@ def test_n_best_checkpoint_rotation(tmp_path):
     assert open(os.path.join(run, "best-model.flax")).read() == "v3"
     assert open(os.path.join(run, "best-model-2.flax")).read() == "v2"
     assert open(os.path.join(run, "best-model-3.flax")).read() == "v1"
+
+
+def test_param_labels_route_encoder_lr(eight_devices):
+    """Encoder towers get group0 (encoder) labels; heads get group1."""
+    import jax.numpy as jnp
+
+    from matchmaker_tpu.models.bert_dot import BertDot
+    from matchmaker_tpu.models.encoder import EncoderConfig
+    from matchmaker_tpu.training.optim import label_params
+
+    model = BertDot(encoder_cfg=EncoderConfig.tiny(), compress_dim=8, compute_dtype=jnp.float32)
+    batch = {
+        "query_ids": np.zeros((2, 4), np.int32), "query_mask": np.ones((2, 4), np.float32),
+        "doc_ids": np.zeros((2, 8), np.int32), "doc_mask": np.ones((2, 8), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    labels = label_params(params, {})
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    by_top = {}
+    for path, label in flat:
+        top = str(getattr(path[0], "key", path[0]))
+        by_top.setdefault(top, set()).add(label)
+    assert by_top["encoder"] == {"encoder"}
+    assert by_top["compressor"] == {"head"}
