@@ -206,23 +206,33 @@ def single_sequence_loader(
     )
     q_aug = config.get("query_augment_mask_number", 0) if sequence_type == "query" else 0
 
-    buf: List[dict] = []
+    texts: List[str] = []
     seq_ids: List[str] = []
+    # batch tokenization (HF fast / native / vectorized vocab) — the host-side
+    # throughput matters at corpus-encoding rates (§docs/tpu_design.md)
+    batch_encode = getattr(tokenizer, "encode_batch", None) if q_aug <= 0 else None
 
     def flush():
-        batch = {key: np.stack([s[key] for s in buf]) for key in buf[0]}
+        if batch_encode is not None:
+            ids, mask = batch_encode(texts, max_len)
+            batch = {"seq_ids": ids.astype(np.int32), "seq_mask": mask.astype(np.float32)}
+        else:
+            encoded = [_encode_query_aug(tokenizer, t, max_len, q_aug) for t in texts]
+            batch = {
+                "seq_ids": np.stack([e[0] for e in encoded]),
+                "seq_mask": np.stack([e[1] for e in encoded]),
+            }
         out = (pad_to_batch(batch, batch_size), list(seq_ids))
-        buf.clear()
+        texts.clear()
         seq_ids.clear()
         return out
 
     for sid, text in read_id_sequences(path):
-        ids, mask = _encode_query_aug(tokenizer, text, max_len, q_aug)
-        buf.append({"seq_ids": ids, "seq_mask": mask})
+        texts.append(text)
         seq_ids.append(sid)
-        if len(buf) == batch_size:
+        if len(texts) == batch_size:
             yield flush()
-    if buf:
+    if texts:
         yield flush()
 
 

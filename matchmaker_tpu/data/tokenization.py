@@ -117,6 +117,17 @@ class VocabTokenizer:
         offsets += [None] * (max_length - len(offsets))
         return ids, mask, offsets
 
+    def encode_batch(self, texts, max_length: int):
+        ids = np.full((len(texts), max_length), PAD_ID, dtype=np.int32)
+        for t, text in enumerate(texts):
+            toks = self.words.tokenize(text)[:max_length]
+            for i, tok in enumerate(toks):
+                ids[t, i] = self.vocab[tok]
+        mask = ids != PAD_ID
+        if self.mask_oov:
+            mask &= ids != OOV_ID
+        return ids, mask.astype(np.float32)
+
     def encode_pair(self, query: str, doc: str, max_q: int, max_d: int):
         raise NotImplementedError("embedding-based models use independent inputs")
 
@@ -227,6 +238,9 @@ class HuggingfaceTokenizer:
         )
         return out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.float32)
 
+    def encode_batch(self, texts, max_length: int):
+        return self.batch_encode(list(texts), max_length)
+
     def encode_with_offsets(self, text: str, max_length: int):
         out = self.tok(
             text, max_length=max_length, truncation=True, padding="max_length",
@@ -281,6 +295,15 @@ class HashBertTokenizer:
         toks = [self.CLS] + [self._word_id(w) for w in self.words.tokenize(text)]
         toks = toks[: max_length - 1] + [self.SEP]
         ids[: len(toks)] = toks
+        mask = (ids != self.PAD).astype(np.float32)
+        return ids, mask
+
+    def encode_batch(self, texts, max_length: int):
+        ids = np.full((len(texts), max_length), self.PAD, dtype=np.int32)
+        for t, text in enumerate(texts):
+            toks = [self.CLS] + [self._word_id(w) for w in self.words.tokenize(text)]
+            toks = toks[: max_length - 1] + [self.SEP]
+            ids[t, : len(toks)] = toks
         mask = (ids != self.PAD).astype(np.float32)
         return ids, mask
 
