@@ -18,6 +18,11 @@ Usage:
 from __future__ import annotations
 
 import os
+
+# persistent XLA compile cache: remote/TPU compiles are expensive; cache them
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_compile_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 import sys
 import traceback
 

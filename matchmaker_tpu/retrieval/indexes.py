@@ -59,8 +59,10 @@ class FlatIndex(BaseNNIndexer):
         config = config or {}
         self.mesh = mesh
         self.block_size = config.get("mips_block_size", 65536)
-        # int8 quantized corpus: ~2x search throughput (HBM-bandwidth bound)
-        self.quantized = config.get("mips_quantization", "none") == "int8"
+        # int8 quantized corpus: ~2x search throughput; "int8-global" uses one
+        # global scale → scale-free top-k, another ~1.5x (normalized corpora)
+        self.quantized = config.get("mips_quantization", "none") in ("int8", "int8-global")
+        self.global_scale = config.get("mips_quantization", "none") == "int8-global"
         self.approx = config.get("mips_approx_topk", False)
         self.recall_target = config.get("mips_approx_recall_target", 0.95)
         self._vectors: Optional[np.ndarray] = None
@@ -92,14 +94,15 @@ class FlatIndex(BaseNNIndexer):
         if self.quantized:
             from matchmaker_tpu.ops.mips_quant import quantize_corpus, sharded_quantized_topk
 
-            values, scales = quantize_corpus(vectors)
+            values, scales = quantize_corpus(vectors, per_row=not self.global_scale)
             dv = jnp.asarray(values)
             ds = jnp.asarray(scales)
             if self.mesh is not None and n_shards > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 dv = jax.device_put(dv, NamedSharding(self.mesh, P("data", None)))
-                ds = jax.device_put(ds, NamedSharding(self.mesh, P("data")))
+                if ds.ndim > 0:
+                    ds = jax.device_put(ds, NamedSharding(self.mesh, P("data")))
             self._device_vectors = (dv, ds)
             approx, recall = self.approx, self.recall_target
 

@@ -112,3 +112,39 @@ def test_pallas_kernel_pooling_matches_jnp(rng):
         jnp.asarray(qn), jnp.asarray(dn), jnp.asarray(qm), jnp.asarray(dm), mu, sig, log_scale=0.01
     )
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-5)
+
+
+def test_global_scale_quantized_topk(rng, eight_devices):
+    """int8-global: scale-free top-k on raw scores matches per-row mode ranking."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    # normalized corpus (the global-scale target case)
+    c = rng.normal(size=(300, 32)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    values, scale = quantize_corpus(c, per_row=False)
+    assert scale.ndim == 0
+    vals, idx = quantized_blocked_topk(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scale), k=10,
+        block_size=128, approx=False,
+    )
+    _, ref_idx = _numpy_topk(q, c, 10)
+    for qi in range(5):
+        overlap = len(set(np.asarray(idx)[qi]) & set(ref_idx[qi]))
+        assert overlap >= 9, overlap
+    # rescaled values close to true scores
+    true_vals = np.take_along_axis(q @ c.T, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), true_vals, atol=0.05)
+
+    # sharded variant with scalar scales
+    mesh = make_mesh()
+    c8 = rng.normal(size=(8 * 40, 32)).astype(np.float32)
+    c8 /= np.linalg.norm(c8, axis=1, keepdims=True)
+    v8, s8 = quantize_corpus(c8, per_row=False)
+    vals8, idx8 = sharded_quantized_topk(
+        jnp.asarray(q), jnp.asarray(v8), jnp.asarray(s8), k=5, mesh=mesh,
+        block_size=40, approx=False,
+    )
+    _, ref8 = _numpy_topk(q, c8, 5)
+    for qi in range(5):
+        assert len(set(np.asarray(idx8)[qi]) & set(ref8[qi])) >= 4
