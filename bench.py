@@ -79,7 +79,7 @@ def bench_search(jax, n_corpus=1_048_576, dim=768, q_batch=256, k=1000, n_iters=
     values = jax.jit(
         lambda key: jax.random.randint(key, (n_corpus, dim), -127, 127, dtype=jnp.int8)
     )(jax.random.PRNGKey(0))
-    scales = jnp.ones((n_corpus,), jnp.float32) * 0.01
+    scales = jnp.float32(0.01)  # global-scale mode: scale-free top-k
     queries = jax.random.normal(jax.random.PRNGKey(1), (q_batch, dim), dtype=jnp.float32)
 
     @jax.jit
