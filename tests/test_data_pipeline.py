@@ -105,3 +105,26 @@ def test_rerank_loader_keeps_ids(tmp_path):
     assert batch["doc_ids"].shape == (4, 16)
     _, qids2, _ = batches[1]
     assert qids2 == ["q4"]
+
+
+def test_rerank_loader_length_buckets(tmp_path):
+    """eval_length_buckets batches short docs at a smaller doc length."""
+    vocab = _write(tmp_path, "vocab.txt", "alpha\nbeta\n")
+    lines = []
+    for i in range(4):
+        lines.append(f"q{i}\tds{i}\talpha\tbeta alpha\n")  # short doc
+    for i in range(4):
+        long_doc = " ".join(["alpha"] * 14)
+        lines.append(f"q{i}\tdl{i}\talpha\t{long_doc}\n")  # long doc
+    tuples = _write(tmp_path, "val.tsv", "".join(lines))
+    from matchmaker_tpu.data.tokenization import build_tokenizer
+
+    config = _tiny_config(vocab)
+    config["eval_length_buckets"] = [8]
+    tok = build_tokenizer(config)
+    batches = list(reranking_inference_loader(config, tok, tuples))
+    shapes = sorted({b[0]["doc_ids"].shape[1] for b in batches})
+    assert shapes == [8, 16]
+    # every tuple accounted for exactly once
+    seen = [d for _, _, dids in batches for d in dids]
+    assert sorted(seen) == sorted([f"ds{i}" for i in range(4)] + [f"dl{i}" for i in range(4)])
