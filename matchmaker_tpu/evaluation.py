@@ -139,12 +139,24 @@ def test_model(
         from matchmaker_tpu.metrics import load_qrels
 
         qrels = load_qrels(test_config["qrels"])
-        metrics = calculate_metrics_plain(
-            ranked, qrels, test_config.get("binarization_point", 1.0)
-        )
+        binarization = test_config.get("binarization_point", 1.0)
+        metrics = calculate_metrics_plain(ranked, qrels, binarization)
         _append_metrics_csv(
             os.path.join(run_folder, f"{test_name}-metrics.csv"), metrics, -1, -1
         )
+        # optional re-ranking-depth sweep on test sets (reference eval.py:288)
+        if test_config.get("candidate_set_path") and test_config.get("candidate_set_from_to"):
+            from matchmaker_tpu.experiment import parse_candidate_set
+
+            lo, hi = test_config["candidate_set_from_to"]
+            candidates = parse_candidate_set(test_config["candidate_set_path"], hi)
+            sweep = calculate_metrics_along_candidate_depth(
+                ranked, qrels, candidates, (lo, hi), binarization
+            )
+            for depth, m in sweep.items():
+                _append_metrics_csv(
+                    os.path.join(run_folder, f"{test_name}-metrics-cs_{depth}.csv"), m, -1, -1
+                )
     return metrics
 
 
