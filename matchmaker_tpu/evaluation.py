@@ -53,11 +53,31 @@ def evaluate_model(
             batches = list(batches)
             _batch_cache[tuples_path] = batches
 
+    # cross-experiment replay cache for expensive submodel tensors (IDCM's
+    # per-chunk BERT scores; reference eval.py:65-74,103-153 + config
+    # submodel_validation_cache_path). Order-replay: batches must arrive in the
+    # same sequence as when the cache was written (deterministic loaders do).
+    cache = None
+    cache_write = False
+    cache_path = config.get("submodel_validation_cache_path")
+    if cache_path:
+        from matchmaker_tpu.utils.replay_cache import CrossExperimentReplayCache
+
+        cache_write = not os.path.exists(os.path.join(cache_path, "cache-meta.json"))
+        cache = CrossExperimentReplayCache(cache_path, write=cache_write)
+
     results: Dict[str, List[Tuple[str, float]]] = {}
     n = 0
     perf.start_block("eval")
     for batch, qids, dids in batches:
+        if cache is not None and not cache_write:
+            cached = cache.get_next()
+            if cached is not None:
+                batch = dict(batch)
+                batch["bert_part_cached"] = cached
         out = eval_step(params, batch, output_secondary)
+        if cache is not None and cache_write and "passage_scores" in out:
+            cache.cache(np.asarray(out["passage_scores"]))
         scores = np.asarray(out["score"])
         for i, (qid, did) in enumerate(zip(qids, dids)):
             results.setdefault(qid, []).append((did, float(scores[i])))
@@ -67,6 +87,8 @@ def evaluate_model(
             for i, (qid, did) in enumerate(zip(qids, dids)):
                 secondary_store[f"{qid}<->{did}"] = {k: v[i] for k, v in sec.items()}
     perf.stop_block("eval", n)
+    if cache is not None and cache_write:
+        cache.finish()
     return results, secondary_store
 
 

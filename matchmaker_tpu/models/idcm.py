@@ -157,8 +157,16 @@ class IDCM(Ranker):
             out["score"] = score
             out["passage_scores"] = bert_scores * sel_valid
         else:
-            # full path: BERT on all chunks (stage-2 training / sample_n == -1)
-            bert_scores = self._bert_chunk_scores(rep_q_ids, rep_q_mask, flat_ids, flat_mask).reshape(b, c)
+            # full path: BERT on all chunks (stage-2 training / sample_n == -1);
+            # ``bert_part_cached`` replays scores from the cross-experiment
+            # cache instead of recomputing (reference sigir21_idcm.py:203-230,
+            # wired through utils/replay_cache + evaluation.evaluate_model)
+            if "bert_part_cached" in batch:
+                bert_scores = batch["bert_part_cached"]
+            else:
+                bert_scores = self._bert_chunk_scores(
+                    rep_q_ids, rep_q_mask, flat_ids, flat_mask
+                ).reshape(b, c)
             if self.sample_n > -1:
                 bert_scores = jax.lax.stop_gradient(bert_scores)
             score = self._final_score(bert_scores, non_empty)

@@ -103,3 +103,18 @@ def test_tk_sparse_returns_sparsity(rng):
     out = model.apply({"params": params}, batch)
     assert out["sparsity"].shape == (2, 64)
     assert (np.asarray(out["sparsity"]) >= 0).all()
+
+
+def test_idcm_bert_part_cached(rng):
+    """Cached BERT chunk scores replace the expensive forward path exactly."""
+    config = _cfg("idcm", idcm_sample_n=-1)
+    model = get_model(config, _FakeVocabTok())
+    batch = example_batch(config, batch_size=2)
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    out = model.apply({"params": params}, batch)
+    full_scores = np.asarray(out["passage_scores"])
+
+    cached_batch = dict(batch)
+    cached_batch["bert_part_cached"] = jnp.asarray(full_scores)
+    out2 = model.apply({"params": params}, cached_batch)
+    np.testing.assert_allclose(np.asarray(out2["score"]), np.asarray(out["score"]), rtol=1e-5)
