@@ -48,8 +48,14 @@ class DynamicTeacher:
         teacher_path = teacher_path or config["dynamic_teacher_path"]
         self.in_batch_scoring = config.get("dynamic_teacher_in_batch_scoring", False)
         self.per_term_scores = config.get("dynamic_teacher_per_term_scores", False)
-        overrides = {"in_batch_negatives": True} if self.in_batch_scoring else None
-        self.model, self.params, self.teacher_config, _ = load_teacher(teacher_path, overrides)
+        overrides = {}
+        if self.in_batch_scoring:
+            overrides["in_batch_negatives"] = True
+        if self.per_term_scores:
+            overrides["colbert_per_term_scores"] = True
+        self.model, self.params, self.teacher_config, _ = load_teacher(
+            teacher_path, overrides or None
+        )
 
         model = self.model
 
@@ -61,6 +67,9 @@ class DynamicTeacher:
             pos_out = model.apply({"params": params}, pos_batch)
             neg_out = model.apply({"params": params}, neg_batch)
             out = {"pos": pos_out["score"], "neg": neg_out["score"]}
+            if self.per_term_scores and "per_term_scores" in pos_out:
+                out["pos_per_term"] = pos_out["per_term_scores"]
+                out["neg_per_term"] = neg_out["per_term_scores"]
             if self.in_batch_scoring and "query_vecs" in pos_out:
                 q = pos_out["query_vecs"]
                 if q.ndim == 3:  # ColBERT all-pairs MaxSim (reference :269-279)
@@ -91,4 +100,7 @@ class DynamicTeacher:
             batch["neg_score"] = np.asarray(scored["neg"])
             if "matrix" in scored:
                 batch["dyn_teacher_matrix"] = np.asarray(scored["matrix"])
+            if "pos_per_term" in scored:
+                batch["dyn_teacher_pos_per_term"] = np.asarray(scored["pos_per_term"])
+                batch["dyn_teacher_neg_per_term"] = np.asarray(scored["neg_per_term"])
             yield batch

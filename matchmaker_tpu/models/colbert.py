@@ -21,6 +21,7 @@ class ColBert(Ranker):
     encoder_cfg: EncoderConfig
     compression_dim: int = 768
     return_vecs: bool = True
+    return_per_term: bool = False  # per-query-term MaxSim scores (teacher/term distillation)
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -29,6 +30,8 @@ class ColBert(Ranker):
             encoder_cfg=encoder_config_from_model_name(config),
             compression_dim=config.get("colbert_compression_dim", 768),
             return_vecs=config.get("in_batch_negatives", False),
+            return_per_term=config.get("dynamic_teacher_per_term_scores", False)
+            or config.get("colbert_per_term_scores", False),
             compute_dtype=jnp.bfloat16 if config.get("use_fp16", True) else jnp.float32,
         )
 
@@ -58,6 +61,14 @@ class ColBert(Ranker):
         d_vecs = self.encode(batch["doc_ids"], batch["doc_mask"])
         score = maxsim_pairwise(q_vecs, d_vecs, batch["query_mask"], batch["doc_mask"])
         out: Output = {"score": score}
+        if self.return_per_term:
+            # per-query-token max-sim contribution (reference colbert.py per-term
+            # scores used by the dynamic teacher, dynamic_teacher.py:262-267)
+            per_term = jnp.einsum(
+                "bqd,bkd->bqk", q_vecs, d_vecs, preferred_element_type=jnp.float32
+            )
+            per_term = jnp.where(batch["doc_mask"][:, None, :] > 0, per_term, -1000.0)
+            out["per_term_scores"] = per_term.max(axis=-1) * batch["query_mask"]
         if self.return_vecs:
             out["query_vecs"] = q_vecs
             out["doc_vecs"] = d_vecs

@@ -50,6 +50,7 @@ def make_loss_fn(model, losses: LossBundle, config):
     ib_main_weight = config.get("in_batch_main_weight", 1.0)
     ib_weight = config.get("in_batch_neg_weight", 1.0)
     qa_weight = config.get("qa_loss_lambda", 0.2)
+    per_term_weight = config.get("per_term_loss_weight", 0.5)
 
     def loss_fn(params, batch):
         pos_batch, neg_batch = split_triple_batch(batch)
@@ -82,6 +83,18 @@ def make_loss_fn(model, losses: LossBundle, config):
             sel = (pos_out["selection_loss"] + neg_out["selection_loss"]) / 2.0
             stats["selection_loss"] = sel
             loss = loss + sel
+
+        if "dyn_teacher_pos_per_term" in batch and "per_term_scores" in pos_out:
+            # term-level distillation: student per-term MaxSim matches the
+            # teacher's (masked MSE; reference per-term dynamic teacher scores)
+            q_mask = batch["query_mask"]
+            denom = jnp.maximum((q_mask * valid[:, None]).sum(), 1.0)
+            pt_loss = (
+                ((pos_out["per_term_scores"] - batch["dyn_teacher_pos_per_term"]) ** 2 * q_mask * valid[:, None]).sum()
+                + ((neg_out["per_term_scores"] - batch["dyn_teacher_neg_per_term"]) ** 2 * q_mask * valid[:, None]).sum()
+            ) / (2.0 * denom)
+            stats["per_term_loss"] = pt_loss
+            loss = loss + per_term_weight * pt_loss
 
         if losses.qa_loss is not None and "qa_logits_start" in pos_out:
             # spans exist only on the positive doc; the end logits are shared

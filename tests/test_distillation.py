@@ -155,3 +155,66 @@ def test_dynamic_teacher_attaches_scores(tmp_path, eight_devices):
     assert wrapped[0]["pos_score"].shape == (4,)
     assert wrapped[0]["dyn_teacher_matrix"].shape == (4, 8)
     assert np.isfinite(wrapped[0]["pos_score"]).all()
+
+
+def test_dynamic_teacher_per_term_scores(tmp_path, eight_devices):
+    """ColBERT teacher attaches per-term score vectors; student per-term loss runs."""
+    import yaml
+    import jax
+    import jax.numpy as jnp
+
+    from matchmaker_tpu.config import auto_fill
+    from matchmaker_tpu.data.tokenization import build_tokenizer
+    from matchmaker_tpu.distillation.dynamic_teacher import DynamicTeacher
+    from matchmaker_tpu.losses import get_loss
+    from matchmaker_tpu.models import get_model, init_params
+    from matchmaker_tpu.training.checkpoints import save_params
+    from matchmaker_tpu.training.optim import build_optimizer
+    from matchmaker_tpu.training.train_step import make_train_step
+
+    teacher_dir = tmp_path / "colbert_teacher"
+    os.makedirs(teacher_dir)
+    t_config = auto_fill({
+        "model": "colbert", "bert_pretrained_model": "tiny-test", "use_fp16": False,
+        "colbert_compression_dim": 16,
+        "max_query_length": 8, "max_doc_length": 16,
+        "model_input_type": "auto", "token_embedder_type": "auto",
+    })
+    yaml.safe_dump(dict(t_config), open(teacher_dir / "config.yaml", "w"))
+    tok = build_tokenizer(t_config)
+    t_model = get_model(t_config, tok)
+    save_params(str(teacher_dir / "best-model.flax"), init_params(t_model, t_config, jax.random.PRNGKey(0)))
+
+    teacher = DynamicTeacher({
+        "dynamic_teacher_path": str(teacher_dir),
+        "dynamic_teacher_per_term_scores": True,
+    })
+    rng = np.random.default_rng(0)
+    batch = {
+        "query_ids": rng.integers(2, 900, (4, 8)).astype(np.int32),
+        "query_mask": np.ones((4, 8), np.float32),
+        "doc_pos_ids": rng.integers(2, 900, (4, 16)).astype(np.int32),
+        "doc_pos_mask": np.ones((4, 16), np.float32),
+        "doc_neg_ids": rng.integers(2, 900, (4, 16)).astype(np.int32),
+        "doc_neg_mask": np.ones((4, 16), np.float32),
+        "valid": np.ones(4, np.float32),
+    }
+    wrapped = next(iter(teacher.wrap(iter([batch]))))
+    assert wrapped["dyn_teacher_pos_per_term"].shape == (4, 8)
+
+    # student colbert with per-term loss
+    s_config = auto_fill({
+        "model": "colbert", "bert_pretrained_model": "tiny-test", "use_fp16": False,
+        "colbert_compression_dim": 16, "colbert_per_term_scores": True,
+        "loss": "margin-mse", "train_pairwise_distillation": True,
+        "max_query_length": 8, "max_doc_length": 16,
+        "max_training_steps": 10, "optimizer_warmup_steps": 0,
+        "model_input_type": "auto", "token_embedder_type": "auto",
+    })
+    s_model = get_model(s_config, tok)
+    params = init_params(s_model, s_config, jax.random.PRNGKey(2))
+    tx = build_optimizer(s_config, params)
+    step = make_train_step(s_model, get_loss(s_config), tx, s_config)
+    _, _, stats = step(params, tx.init(params), wrapped)
+    assert "per_term_loss" in stats
+    assert np.isfinite(float(np.asarray(stats["per_term_loss"])))
