@@ -237,22 +237,41 @@ class IVFIndex(BaseNNIndexer):
         cvecs = jnp.asarray(self._cluster_vectors, dtype=jnp.float32)
         crows = jnp.asarray(self._cluster_ids)
         nprobe = min(self.nprobe, self.n_clusters_eff)
+        max_cluster = self._cluster_vectors.shape[1]
+        dim = self._cluster_vectors.shape[2]
+        # bound the gathered (chunk, nprobe, M, D) working set to ~1 GB —
+        # at reference defaults (nprobe 500) an unchunked gather would need
+        # tens of GB for a full query batch
+        budget_rows = max(1, int(1e9 / (nprobe * max_cluster * dim * 4)))
 
         @jax.jit
-        def run(q):
-            cent_scores = q @ centroids.T  # (Q, C)
-            probe = jax.lax.top_k(cent_scores, nprobe)[1]  # (Q, nprobe)
-            sel_vecs = cvecs[probe]  # (Q, nprobe, M, D)
-            sel_rows = crows[probe]  # (Q, nprobe, M)
-            scores = jnp.einsum("qd,qpmd->qpm", q, sel_vecs, preferred_element_type=jnp.float32)
+        def run_chunk(qc):
+            cent_scores = qc @ centroids.T  # (Qc, C)
+            probe = jax.lax.top_k(cent_scores, nprobe)[1]  # (Qc, nprobe)
+            sel_vecs = cvecs[probe]  # (Qc, nprobe, M, D)
+            sel_rows = crows[probe]  # (Qc, nprobe, M)
+            scores = jnp.einsum("qd,qpmd->qpm", qc, sel_vecs, preferred_element_type=jnp.float32)
             scores = jnp.where(sel_rows >= 0, scores, -jnp.inf)
-            flat_scores = scores.reshape(q.shape[0], -1)
-            flat_rows = sel_rows.reshape(q.shape[0], -1)
+            flat_scores = scores.reshape(qc.shape[0], -1)
+            flat_rows = sel_rows.reshape(qc.shape[0], -1)
             k = min(top_n, flat_scores.shape[1])
             vals, pos = jax.lax.top_k(flat_scores, k)
             return vals, jnp.take_along_axis(flat_rows, pos, axis=1)
 
-        vals, rows = run(q)
+        out_vals, out_rows = [], []
+        n_q = q.shape[0]
+        for start in range(0, n_q, budget_rows):
+            chunk = q[start : start + budget_rows]
+            if chunk.shape[0] < budget_rows and start > 0:
+                # pad to the compiled chunk shape to avoid a fresh compile
+                pad = budget_rows - chunk.shape[0]
+                v, r = run_chunk(jnp.pad(chunk, ((0, pad), (0, 0))))
+                v, r = v[: chunk.shape[0]], r[: chunk.shape[0]]
+            else:
+                v, r = run_chunk(chunk)
+            out_vals.append(np.asarray(v))
+            out_rows.append(np.asarray(r))
+        vals, rows = np.concatenate(out_vals), np.concatenate(out_rows)
         vals, rows = np.asarray(vals), np.clip(np.asarray(rows), 0, len(self._ids) - 1)
         if vals.shape[1] < top_n:
             pad = top_n - vals.shape[1]
