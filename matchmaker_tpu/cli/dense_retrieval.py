@@ -111,21 +111,50 @@ def run(mode: str, config, run_folder: str) -> int:
     # ---- phase 3: search -------------------------------------------------
     from matchmaker_tpu.config import model_base_name
 
-    auto_multi = model_base_name(config.get("model", "")) == "colbert" or "->" in config.get("model", "")
+    colbert_queries = model_base_name(config.get("model", "")) == "colbert"
+    auto_multi = colbert_queries or "->" in config.get("model", "")
     multi_vector = bool(config.get("multi_vector_corpus", auto_multi))
     cfg_q = dict(config)
     cfg_q["batch_size_inference"] = config.get("query_batch_size", 32)
+
+    rescore_store = None
+    rescore_n = int(config.get("colbert_rescore_n", 0))
+    if colbert_queries and rescore_n > 0 and os.path.isdir(encode_folder):
+        from matchmaker_tpu.retrieval.colbert_search import TokenVectorStore
+
+        rescore_store = TokenVectorStore(encode_folder)
+
     for name, qset in (config.get("query_sets") or {}).items():
-        results = search_queries(
-            make_encode_fn(model, "query_encode"),
-            params,
-            cfg_q,
-            tokenizer,
-            indexer,
-            qset["queries_tsv"],
-            top_n=qset.get("top_n", 100),
-            dedup=multi_vector,
-        )
+        if colbert_queries:
+            # late-interaction retrieval: per-token candidate search + MaxSim
+            # merge (+ optional exact re-scoring from the stored doc vectors) —
+            # the working form of the reference's vestigial branch
+            # (dense_retrieval.py:398-412)
+            from matchmaker_tpu.retrieval.colbert_search import colbert_search_queries
+
+            results = colbert_search_queries(
+                make_encode_fn(model, "query_encode"),
+                params,
+                cfg_q,
+                tokenizer,
+                indexer,
+                qset["queries_tsv"],
+                top_n=qset.get("top_n", 100),
+                per_token_candidates=config.get("colbert_per_token_candidates", 64),
+                rescore_store=rescore_store,
+                rescore_n=rescore_n,
+            )
+        else:
+            results = search_queries(
+                make_encode_fn(model, "query_encode"),
+                params,
+                cfg_q,
+                tokenizer,
+                indexer,
+                qset["queries_tsv"],
+                top_n=qset.get("top_n", 100),
+                dedup=multi_vector,
+            )
         save_sorted_results(results, os.path.join(run_folder, f"{name}-output.txt"))
         if qset.get("qrels"):
             metrics = calculate_metrics_plain(

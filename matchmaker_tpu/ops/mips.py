@@ -93,6 +93,11 @@ def sharded_topk_mips(
         vals, idx = blocked_topk_scores(
             q, corpus_shard, k, block_size, index_offset=shard_id * shard_rows
         )
+        if vals.shape[1] < k:
+            # tiny shard (rows < k): pad partials so gathered shapes stay (Q, k)
+            pad = k - vals.shape[1]
+            vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         return vals, idx
 
     part_vals, part_idx = per_shard(queries, corpus)  # (Q, k*n_shards)

@@ -14,13 +14,84 @@ optional exact re-scoring of the top candidates with the stored doc vectors.
 
 from __future__ import annotations
 
+import functools
+import json
+import os
 from collections import defaultdict
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from matchmaker_tpu.data.loaders import device_prefetch, single_sequence_loader
 from matchmaker_tpu.obs.perf_monitor import PerformanceMonitor
+
+
+class TokenVectorStore:
+    """Random access to per-document token vectors from an encode folder.
+
+    The encode phase (retrieval/encode.py) writes variable-length per-doc
+    token-vector spans into fixed-size blocks plus a ``doc_infos`` span table;
+    this store resolves ``doc_id → (n_tokens, D)`` through memmapped blocks —
+    the candidate-refinement data source the reference's vestigial ColBERT
+    branch gestured at (dense_retrieval.py:398-412)."""
+
+    def __init__(self, folder: str):
+        with open(os.path.join(folder, "encode_meta.json")) as f:
+            meta = json.load(f)
+        self._blocks = [
+            np.load(os.path.join(folder, f"token_reps_{i}.npy"), mmap_mode="r")
+            for i in range(meta["blocks"])
+        ]
+        data = np.load(os.path.join(folder, "doc_infos.npz"), allow_pickle=True)
+        ids, spans = data["ids"], data["spans"]
+        self._span = {str(sid): tuple(span) for sid, span in zip(ids, spans)}
+        self.dim = int(meta["dim"])
+        self.max_tokens = int(max((e - s for _, s, e in self._span.values()), default=1))
+
+    def get(self, doc_id: str) -> np.ndarray:
+        block, start, end = self._span[str(doc_id)]
+        return np.asarray(self._blocks[block][start:end], dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _exact_maxsim(q_vecs, q_mask, d_vecs, d_mask):
+    """(Lq,D)·(C,T,D) → (C,) exact MaxSim: max over doc tokens, sum over
+    (masked) query tokens."""
+    per = jnp.einsum("ld,ctd->clt", q_vecs, d_vecs, preferred_element_type=jnp.float32)
+    per = jnp.where(d_mask[:, None, :] > 0, per, -jnp.inf)
+    term = per.max(axis=-1)  # (C, Lq)
+    term = jnp.where(q_mask[None, :] > 0, term, 0.0)
+    # all-padding docs produce -inf terms for every live query token
+    term = jnp.where(jnp.isfinite(term), term, 0.0)
+    return term.sum(axis=-1)
+
+
+def exact_rescore(
+    q_vecs: np.ndarray,  # (Lq, D)
+    q_mask: np.ndarray,  # (Lq,)
+    candidates: List[Tuple[str, float]],
+    store: TokenVectorStore,
+    top_n: int,
+    pad_candidates: int,
+    pad_tokens: int,
+) -> List[Tuple[str, float]]:
+    """Re-score candidate docs with the true MaxSim over their stored token
+    vectors; static (pad_candidates, pad_tokens, D) shapes keep one compile."""
+    c = min(len(candidates), pad_candidates)
+    d_vecs = np.zeros((pad_candidates, pad_tokens, store.dim), dtype=np.float32)
+    d_mask = np.zeros((pad_candidates, pad_tokens), dtype=np.float32)
+    for i, (doc_id, _) in enumerate(candidates[:c]):
+        vecs = store.get(doc_id)[:pad_tokens]
+        d_vecs[i, : vecs.shape[0]] = vecs
+        d_mask[i, : vecs.shape[0]] = 1.0
+    scores = np.asarray(
+        _exact_maxsim(jnp.asarray(q_vecs), jnp.asarray(q_mask), jnp.asarray(d_vecs), jnp.asarray(d_mask))
+    )
+    rescored = [(candidates[i][0], float(scores[i])) for i in range(c)]
+    rescored.sort(key=lambda kv: kv[1], reverse=True)
+    return rescored[:top_n]
 
 
 def colbert_search_queries(
@@ -32,9 +103,15 @@ def colbert_search_queries(
     query_path: str,
     top_n: int,
     per_token_candidates: int = 64,
+    rescore_store: Optional[TokenVectorStore] = None,
+    rescore_n: int = 0,
 ) -> Dict[str, List[Tuple[str, float]]]:
     perf = PerformanceMonitor.get()
     results: Dict[str, List[Tuple[str, float]]] = {}
+    if rescore_store is not None and rescore_n > 0:
+        # fixed padded shapes: one compile for the whole query stream
+        pad_c = rescore_n
+        pad_t = -(-rescore_store.max_tokens // 8) * 8
 
     loader = single_sequence_loader(config, tokenizer, query_path, "query")
     perf.start_block("search_total")
@@ -69,7 +146,14 @@ def colbert_search_queries(
                         best_for_doc[key] = float(s)
                 for d, s in best_for_doc.items():
                     per_doc[d] += s
-            ranked = sorted(per_doc.items(), key=lambda kv: kv[1], reverse=True)[:top_n]
+            if rescore_store is not None and rescore_n > 0:
+                # exact MaxSim refinement of the approximate candidate pool
+                cands = sorted(per_doc.items(), key=lambda kv: kv[1], reverse=True)[:rescore_n]
+                ranked = exact_rescore(
+                    q_vecs[qi], mask[qi], cands, rescore_store, top_n, pad_c, pad_t
+                )
+            else:
+                ranked = sorted(per_doc.items(), key=lambda kv: kv[1], reverse=True)[:top_n]
             results[qid] = ranked
         perf.stop_block("search_aggregation", len(qids))
         n += len(qids)

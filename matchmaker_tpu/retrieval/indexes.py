@@ -27,6 +27,23 @@ import numpy as np
 from matchmaker_tpu.ops.mips import blocked_topk_scores, sharded_topk_mips
 
 
+def gather_ids(ids_array: np.ndarray, idx: np.ndarray, row_count: int, scores: np.ndarray):
+    """Map row indices → sequence ids, neutralizing padded top-k slots.
+
+    A -inf-padded slot (top_n > corpus rows) must not alias doc 0's id: invalid
+    slots get score −inf and a sentinel id (-1 numeric / "" string) so callers
+    reading ids without scores can't mistake padding for a real hit."""
+    idx = np.asarray(idx)
+    scores = np.asarray(scores)
+    valid = (idx >= 0) & (idx < row_count) & np.isfinite(scores)
+    out = ids_array[np.clip(idx, 0, row_count - 1)]
+    if not valid.all():
+        out = out.copy()
+        out[~valid] = -1 if out.dtype.kind in "iuf" else ""
+        scores = np.where(valid, scores, -np.inf)
+    return scores, out
+
+
 class BaseNNIndexer:
     def __init__(self, config=None):
         config = config or {}
@@ -134,9 +151,12 @@ class FlatIndex(BaseNNIndexer):
         self._ensure_device()
         q = jnp.asarray(np.asarray(queries), dtype=self.compute_dtype)
         vals, idx = self._search_fn(q, self._device_vectors, k=top_n)
-        vals = np.asarray(vals)
-        idx = np.clip(np.asarray(idx), 0, self._row_count - 1)
-        return vals, self._ids[idx]
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if vals.shape[1] < top_n:  # corpus smaller than top_n
+            pad = top_n - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        return gather_ids(self._ids, idx, self._row_count, vals)
 
     def save(self, folder: str) -> None:
         os.makedirs(folder, exist_ok=True)
@@ -272,12 +292,11 @@ class IVFIndex(BaseNNIndexer):
             out_vals.append(np.asarray(v))
             out_rows.append(np.asarray(r))
         vals, rows = np.concatenate(out_vals), np.concatenate(out_rows)
-        vals, rows = np.asarray(vals), np.clip(np.asarray(rows), 0, len(self._ids) - 1)
         if vals.shape[1] < top_n:
             pad = top_n - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
-            rows = np.pad(rows, ((0, 0), (0, pad)))
-        return vals, self._ids[rows]
+            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+        return gather_ids(self._ids, rows, len(self._ids), vals)
 
     def save(self, folder: str) -> None:
         os.makedirs(folder, exist_ok=True)
@@ -429,8 +448,8 @@ class StreamingFlatIndex(BaseNNIndexer):
         if vals.shape[1] < top_n:
             pad = top_n - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
-            idx = np.pad(idx, ((0, 0), (0, pad)))
-        return vals, self._row_ids[idx]
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        return gather_ids(self._row_ids, idx, len(self._row_ids), vals)
 
     def save(self, folder: str) -> None:
         # the encode folder already is the on-disk index; record the pointer
