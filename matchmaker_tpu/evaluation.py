@@ -133,6 +133,16 @@ def validate_model(
         metrics = calculate_metrics_plain(ranked, qrels, binarization)
         metrics["cs@n"] = "-"
 
+    # QA answer-string eval on the top-ranked docs (reference eval.py:343-372)
+    if config.get("train_qa_spans", False) and validation_config.get("qa_answers"):
+        gold = read_qa_answers(validation_config["qa_answers"])
+        qa_stats, predictions = qa_evaluate(
+            eval_step, params, config, tokenizer, validation_config["tsv"], gold, ranked
+        )
+        metrics["QA/ExactMatch_TopRanked"] = qa_stats.get("QA_EM", 0.0)
+        metrics["QA/F1_TopRanked"] = qa_stats.get("QA_F1", 0.0)
+        save_qa_answers(predictions, gold, os.path.join(run_folder, "last-qa-output.tsv"))
+
     _append_metrics_csv(
         os.path.join(run_folder, f"validation-metrics-{kind}.csv"), metrics, epoch, batch_number
     )
@@ -150,11 +160,18 @@ def test_model(
         eval_step, params, config, tokenizer, test_config["tsv"], use_cache=False,
         output_secondary=want_secondary,
     )
-    if want_secondary and secondary:
-        top_n = config.get_path("secondary_output.top_n", 100) if hasattr(config, "get_path") else 100
-        limited = dict(list(secondary.items())[: top_n * 10])
-        save_secondary_output(limited, os.path.join(run_folder, f"{test_name}-secondary.npz"))
     ranked = unrolled_to_ranked_result(results)
+    if want_secondary and secondary:
+        # keep each query's top-n *ranked* docs, not the first pairs in
+        # iteration order (reference save_secondary_output, eval.py:415-428)
+        top_n = config.get_path("secondary_output.top_n", 100) if hasattr(config, "get_path") else 100
+        limited = {}
+        for qid, doc_ids in ranked.items():
+            for did in doc_ids[:top_n]:
+                key = f"{qid}<->{did}"
+                if key in secondary:
+                    limited[key] = secondary[key]
+        save_secondary_output(limited, os.path.join(run_folder, f"{test_name}-secondary.npz"))
     save_sorted_results(results, os.path.join(run_folder, f"{test_name}-output.txt"))
     metrics: Dict[str, float] = {}
     if test_config.get("qrels"):
@@ -179,7 +196,56 @@ def test_model(
                 _append_metrics_csv(
                     os.path.join(run_folder, f"{test_name}-metrics-cs_{depth}.csv"), m, -1, -1
                 )
+    if config.get("train_qa_spans", False) and test_config.get("qa_answers"):
+        gold = read_qa_answers(test_config["qa_answers"])
+        qa_stats, predictions = qa_evaluate(
+            eval_step, params, config, tokenizer, test_config["tsv"], gold, ranked
+        )
+        metrics["QA/ExactMatch_TopRanked"] = qa_stats.get("QA_EM", 0.0)
+        metrics["QA/F1_TopRanked"] = qa_stats.get("QA_F1", 0.0)
+        save_qa_answers(predictions, gold, os.path.join(run_folder, f"{test_name}-qa-output.tsv"))
     return metrics
+
+
+def read_qa_answers(path: str) -> Dict[str, List[str]]:
+    """``qid \\t answer1 \\t answer2 ...`` gold-answer file
+    (reference eval.py:345-351)."""
+    out: Dict[str, List[str]] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                out[parts[0]] = [p for p in parts[1:] if p]
+    return out
+
+
+def _extract_answer(eval_step, params, config, tokenizer, query: str, doc: str):
+    """One (query, doc) QA forward → (answer string, answerable flag)."""
+    max_q = config.get("max_query_length", 30)
+    max_d = config.get("max_doc_length", 200)
+    q_ids, q_mask = tokenizer.encode(query, max_q)
+    d_ids, d_mask, offsets = tokenizer.encode_with_offsets(doc, max_d)
+    batch = {
+        "seq_ids": np.concatenate([q_ids, d_ids])[None, :],
+        "seq_mask": np.concatenate([q_mask, d_mask])[None, :],
+        "seq_type_ids": np.concatenate(
+            [np.zeros(max_q, np.int32), (d_mask > 0).astype(np.int32)]
+        )[None, :],
+    }
+    out = eval_step(params, batch)
+    if "qa_logits_start" not in out:
+        raise ValueError("model has no QA head (set train_qa_spans)")
+    answerable = True
+    if out.get("answerability_logits") is not None:
+        answerable = int(np.asarray(out["answerability_logits"])[0].argmax()) != 0
+    max_q_len = q_ids.shape[0]
+    start_logits = np.asarray(out["qa_logits_start"])[0, max_q_len:]
+    end_logits = np.asarray(out["qa_logits_end"])[0, max_q_len:]
+    s = int(start_logits.argmax())
+    e = int(end_logits[s:].argmax()) + s
+    if offsets[s] is None or offsets[e] is None:
+        return "", answerable
+    return doc[offsets[s][0] : offsets[e][1]], answerable
 
 
 def qa_evaluate(
@@ -189,47 +255,46 @@ def qa_evaluate(
     tokenizer,
     tuples_path: str,
     gold_answers: Dict[str, List[str]],
-) -> Dict[str, float]:
-    """Extractive-QA answer eval: predict the best span per (query, doc),
-    keep the highest-scoring answerable doc per query, score SQuAD EM/F1
-    (reference eval.py:343-372). ``gold_answers``: {query_id: [answer ...]}."""
-    import numpy as np
-
+    ranked: Optional[Dict[str, List[str]]] = None,
+    max_depth: int = 10,
+) -> Tuple[Dict[str, float], Dict[str, str]]:
+    """Extractive-QA answer eval (reference eval.py:343-372): per query, walk
+    the ranking and take the first *answerable* doc's extracted span; score
+    SQuAD EM/F1 against ``gold_answers`` {query_id: [answer ...]}. Without a
+    ``ranked`` map, every tuple's doc is considered in file order."""
     from matchmaker_tpu.data.readers import read_reranking_tuples
     from matchmaker_tpu.metrics import qa_metric_battery
 
-    max_q = config.get("max_query_length", 30)
-    max_d = config.get("max_doc_length", 200)
-    best_pred: Dict[str, Tuple[float, str]] = {}
-
+    # (qid, did) -> (query, doc) text
+    texts: Dict[Tuple[str, str], Tuple[str, str]] = {}
+    order: Dict[str, List[str]] = {}
     for sample in read_reranking_tuples(tuples_path):
-        q_ids, q_mask = tokenizer.encode(sample.query, max_q)
-        d_ids, d_mask, offsets = tokenizer.encode_with_offsets(sample.doc, max_d)
-        batch = {
-            "seq_ids": np.concatenate([q_ids, d_ids])[None, :],
-            "seq_mask": np.concatenate([q_mask, d_mask])[None, :],
-            "seq_type_ids": np.concatenate(
-                [np.zeros(max_q, np.int32), (d_mask > 0).astype(np.int32)]
-            )[None, :],
-        }
-        out = eval_step(params, batch)
-        if "qa_logits_start" not in out:
-            raise ValueError("model has no QA head (set train_qa_spans)")
-        start_logits = np.asarray(out["qa_logits_start"])[0, max_q:]
-        end_logits = np.asarray(out["qa_logits_end"])[0, max_q:]
-        s = int(start_logits.argmax())
-        e = int(end_logits[s:].argmax()) + s
-        span_score = float(start_logits[s] + end_logits[e])
-        if offsets[s] is None or offsets[e] is None:
-            answer = ""
-        else:
-            answer = sample.doc[offsets[s][0] : offsets[e][1]]
-        prev = best_pred.get(sample.query_id)
-        if prev is None or span_score > prev[0]:
-            best_pred[sample.query_id] = (span_score, answer)
+        texts[(sample.query_id, sample.doc_id)] = (sample.query, sample.doc)
+        order.setdefault(sample.query_id, []).append(sample.doc_id)
+    walk = ranked if ranked is not None else order
 
-    predictions = {qid: ans for qid, (_, ans) in best_pred.items()}
-    return qa_metric_battery(predictions, gold_answers)
+    predictions: Dict[str, str] = {}
+    for qid, doc_ids in walk.items():
+        predictions[qid] = ""
+        for did in doc_ids[:max_depth]:
+            if (qid, did) not in texts:
+                continue
+            query, doc = texts[(qid, did)]
+            answer, answerable = _extract_answer(
+                eval_step, params, config, tokenizer, query, doc
+            )
+            if answerable:
+                predictions[qid] = answer
+                break
+    return qa_metric_battery(predictions, gold_answers), predictions
+
+
+def save_qa_answers(predictions: Dict[str, str], gold: Dict[str, List[str]], path: str) -> None:
+    """``qid \\t predicted \\t gold...`` dump (reference eval.py:431-435)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for qid, pred in predictions.items():
+            if qid in gold:
+                f.write("\t".join([qid, pred] + list(gold[qid])) + "\n")
 
 
 def save_sorted_results(

@@ -107,14 +107,45 @@ def make_loss_fn(model, losses: LossBundle, config):
                 pos_out.get("answerability_logits"),
                 batch.get("qa_has_answer"),
             )
-            qa_total = 0.0
             if span_loss is not None:
-                qa_total = qa_total + span_loss
                 stats["qa_span_loss"] = span_loss
             if answer_loss is not None:
-                qa_total = qa_total + answer_loss
                 stats["qa_answerability_loss"] = answer_loss
-            loss = loss + qa_weight * qa_total
+                # negative docs are always unanswerable (label 0), weighted 0.1
+                # (reference train.py:479-481)
+                if neg_out.get("answerability_logits") is not None:
+                    _, answer_loss_neg = losses.qa_loss(
+                        None, None, None, None,
+                        neg_out["answerability_logits"],
+                        jnp.zeros(neg_out["answerability_logits"].shape[0], jnp.int32),
+                    )
+                    stats["qa_answerability_loss_neg"] = answer_loss_neg
+                    answer_loss = answer_loss + 0.1 * answer_loss_neg
+            if "mtl_log_vars" in params:
+                # uncertainty-weighted multi-task merge with learned
+                # log-variances (reference train.py:481 intent — the reference
+                # call site is broken, missing its log_vars argument — and
+                # losses/all.py:13-21 semantics)
+                from matchmaker_tpu.losses.dispatch import merge_loss
+
+                parts = [loss]
+                if span_loss is not None:
+                    parts.append(span_loss)
+                if answer_loss is not None:
+                    parts.append(answer_loss)
+                log_vars = params["mtl_log_vars"][: len(parts)]
+                loss, weighted = merge_loss(parts, log_vars)
+                stats["qa_weighted_ranking_loss"] = weighted[0]
+                if len(weighted) > 1:
+                    stats["qa_weighted_qa_loss"] = weighted[1]
+                stats["mtl_log_var_ranking"] = log_vars[0]
+            else:
+                qa_total = 0.0
+                if span_loss is not None:
+                    qa_total = qa_total + span_loss
+                if answer_loss is not None:
+                    qa_total = qa_total + answer_loss
+                loss = loss + qa_weight * qa_total
 
         if losses.inbatch_loss is not None and "query_vecs" in pos_out:
             q = pos_out["query_vecs"]  # (B, D) single-vector / (B, Lq, D) ColBERT

@@ -50,7 +50,12 @@ class Trainer:
         rng = jax.random.PRNGKey(config.get("random_seed", 42))
         from matchmaker_tpu.models import init_params
 
-        self.params = shard_params(init_params(self.model, config, rng), self.mesh)
+        params = init_params(self.model, config, rng)
+        if config.get("train_qa_spans", False) and config.get("qa_uncertainty_weighting", True):
+            # learned log-variances for the uncertainty-weighted multi-loss
+            # merge: [ranking, qa span, answerability] (reference train.py:481)
+            params["mtl_log_vars"] = np.zeros(3, dtype=np.float32)
+        self.params = shard_params(params, self.mesh)
 
         warmstart = config.get("warmstart_model_path")
         if warmstart:
@@ -206,8 +211,17 @@ class Trainer:
                     self.params, self.opt_state, stats = self.train_step(
                         self.params, self.opt_state, batch
                     )
-                except Exception as e:  # device OOM / transient runtime failure:
-                    # skip the batch (reference CUDA-OOM handling, train.py:578-593)
+                except Exception as e:
+                    # only device OOM / transient runtime failures are
+                    # skippable (reference checks "CUDA out of memory"
+                    # explicitly, train.py:578-593); programming errors
+                    # (shape mismatch, tracer leak, NaN assert) must raise
+                    msg = str(e)
+                    transient = isinstance(e, RuntimeError) or any(
+                        s in msg for s in ("RESOURCE_EXHAUSTED", "out of memory", "OOM")
+                    )
+                    if not transient:
+                        raise
                     recent_failures = [s for s in recent_failures if self.global_step - s < 4]
                     recent_failures.append(self.global_step)
                     print(f"[trainer] step {self.global_step} failed ({type(e).__name__}); skipping batch")
