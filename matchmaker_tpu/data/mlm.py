@@ -1,18 +1,27 @@
 """MLM masked-sequence batches for encoder pre-training.
 
 Contract: reference dataloaders/mlm_masked_sequence_loader.py:26-256 —
-whole-word masking over ``id \t text`` collections with the BERT recipe
-(mask_prob of words; 80% → [MASK], 10% → random token, 10% → unchanged),
-labels = original ids at masked positions, -100 elsewhere.
+whole-word masking over ``id \t text`` collections (mask decisions are made
+per *word* and extended across all of the word's subword tokens,
+mlm_masked_sequence_loader.py:143-165), with the BERT recipe (80% → [MASK],
+10% → random token, 10% → unchanged) and an optional frequency-biased
+sampling mode (``tf`` / ``log-tf``): rarer words are masked more, with the
+per-token probability normalized to a mean of ``mask_prob`` and capped at
+0.9 (:167-185). Labels = original ids at masked positions, -100 elsewhere.
 
 (The reference's pre-train.py driver is broken — imports a nonexistent module,
 SURVEY.md §2.1; this pipeline + cli/pretrain.py is the working equivalent.)
+
+Word boundaries come from character offsets (tokens whose spans touch belong
+to one word) so the grouping works for any tokenizer that implements
+``encode_with_offsets`` — no dependence on "##" surface conventions.
 """
 
 from __future__ import annotations
 
 import random
-from typing import Dict, Iterator, Optional
+from collections import Counter
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -20,6 +29,97 @@ from matchmaker_tpu.data.batching import pad_to_batch
 from matchmaker_tpu.data.readers import read_id_sequences
 
 IGNORE_LABEL = -100
+
+
+def word_groups_from_offsets(offsets) -> List[List[int]]:
+    """Group token positions into whole words via char offsets: a token whose
+    span starts exactly where the previous one ended is a continuation
+    (wordpiece "##" pieces are contiguous; words are separated by spaces)."""
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    prev_end = None
+    for i, off in enumerate(offsets):
+        if off is None:  # special token / padding
+            if cur:
+                groups.append(cur)
+                cur = []
+            prev_end = None
+            continue
+        if prev_end is not None and off[0] == prev_end:
+            cur.append(i)
+        else:
+            if cur:
+                groups.append(cur)
+            cur = [i]
+        prev_end = off[1]
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _random_token(rng: random.Random, vocab_size: int) -> int:
+    return rng.randrange(1000, vocab_size) if vocab_size > 1000 else rng.randrange(4, vocab_size)
+
+
+def mask_whole_words(
+    ids: np.ndarray,
+    mask: np.ndarray,
+    offsets,
+    rng: random.Random,
+    mask_token_id: int,
+    vocab_size: int,
+    mask_prob: float = 0.15,
+    special_ids: Optional[set] = None,
+    token_counter: Optional[Counter] = None,
+    bias_sampling: str = "none",
+):
+    """Whole-word BERT masking; returns (masked_ids, labels).
+
+    One mask decision and one action roll per word; the action applies to every
+    subword of the word (reference :143-165). ``bias_sampling`` ∈ {"none",
+    "tf", "log-tf"}: with a shared ``token_counter`` (updated here), the mask
+    probability per word is ∝ 1/tf (log2 for "log-tf"), mean-normalized to
+    ``mask_prob`` and capped at 0.9 (reference :167-185)."""
+    special_ids = special_ids or {0, 100, 101, 102, 103}
+    masked = ids.copy()
+    labels = np.full_like(ids, IGNORE_LABEL)
+
+    groups = [
+        g
+        for g in word_groups_from_offsets(offsets)
+        if all(mask[i] > 0 and ids[i] not in special_ids for i in g)
+    ]
+    if not groups:
+        return masked, labels
+
+    if bias_sampling in ("tf", "log-tf") and token_counter is not None:
+        # running term frequency over the stream (reference keeps one counter
+        # for the whole reader, :137-141)
+        for g in groups:
+            for i in g:
+                token_counter[int(ids[i])] += 1
+        tfs = np.array([token_counter[int(ids[g[0]])] for g in groups], dtype=np.float64)
+        if bias_sampling == "log-tf":
+            tfs = np.log2(np.maximum(tfs, 2.0))
+        prob = tfs.sum() / tfs
+        prob /= prob.max()
+        prob *= mask_prob
+        prob = prob * (mask_prob / max(prob.mean(), 1e-9))
+        prob = np.minimum(prob, 0.9)
+    else:
+        prob = np.full(len(groups), mask_prob)
+
+    for g, p in zip(groups, prob):
+        if rng.random() >= p:
+            continue
+        roll = rng.random()
+        for i in g:
+            labels[i] = ids[i]
+            if roll < 0.8:
+                masked[i] = mask_token_id
+            elif roll < 0.9:
+                masked[i] = _random_token(rng, vocab_size)
+    return masked, labels
 
 
 def mask_tokens(
@@ -31,7 +131,8 @@ def mask_tokens(
     mask_prob: float = 0.15,
     special_ids: Optional[set] = None,
 ):
-    """BERT masking recipe on one fixed-shape sequence; returns (masked_ids, labels)."""
+    """Per-subword BERT masking (``mlm_mask_whole_words: false``);
+    returns (masked_ids, labels)."""
     special_ids = special_ids or {0, 100, 101, 102, 103}
     masked = ids.copy()
     labels = np.full_like(ids, IGNORE_LABEL)
@@ -44,7 +145,7 @@ def mask_tokens(
             if roll < 0.8:
                 masked[i] = mask_token_id
             elif roll < 0.9:
-                masked[i] = rng.randrange(1000, vocab_size) if vocab_size > 1000 else rng.randrange(4, vocab_size)
+                masked[i] = _random_token(rng, vocab_size)
     return masked, labels
 
 
@@ -57,13 +158,23 @@ def mlm_training_loader(
     batch_size = batch_size or config.get("batch_size_train", 32)
     max_len = config.get("max_doc_length", 200)
     mask_prob = config.get("mlm_mask_probability", 0.15)
+    whole_words = config.get("mlm_mask_whole_words", True)
+    bias_sampling = str(config.get("mlm_bias_sampling_method", "none")).lower()
     rng = random.Random(config.get("random_seed", 42))
     mask_id = getattr(tokenizer, "mask_token_id", 103)
+    token_counter: Counter = Counter()
 
     buf = []
     for _sid, text in read_id_sequences(path):
-        ids, mask = tokenizer.encode(text, max_len)
-        masked, labels = mask_tokens(ids, mask, rng, mask_id, tokenizer.vocab_size, mask_prob)
+        if whole_words:
+            ids, mask, offsets = tokenizer.encode_with_offsets(text, max_len)
+            masked, labels = mask_whole_words(
+                ids, mask, offsets, rng, mask_id, tokenizer.vocab_size, mask_prob,
+                token_counter=token_counter, bias_sampling=bias_sampling,
+            )
+        else:
+            ids, mask = tokenizer.encode(text, max_len)
+            masked, labels = mask_tokens(ids, mask, rng, mask_id, tokenizer.vocab_size, mask_prob)
         buf.append({"seq_ids": masked, "seq_mask": mask, "mlm_labels": labels})
         if len(buf) == batch_size:
             batch = {k: np.stack([s[k] for s in buf]) for k in buf[0]}

@@ -110,7 +110,23 @@ def get_model(config, tokenizer) -> Ranker:
 
     if name not in _REGISTRY:
         raise ValueError(f"Model not known: {config['model']}")
-    inner = _REGISTRY[name].from_config(cfg, pretrained)
+
+    if config.get("token_embedder_type") == "bert_vectors":
+        # frozen/fine-tuned full transformer as the contextual embedding
+        # source for embedding-family models (reference models/all.py:70-77)
+        from matchmaker_tpu.models.bert_vectors import ContextualVectorsAdapter
+        from matchmaker_tpu.models.encoder import encoder_config_from_model_name
+
+        cfg["_external_embedding"] = True
+        cfg["token_embedding_size"] = encoder_config_from_model_name(config).hidden_size
+        inner = _REGISTRY[name].from_config(cfg, pretrained)
+        if not hasattr(type(inner), "score_embeddings"):
+            raise ValueError(
+                f"bert_vectors requires a model with score_embeddings (tk/knrm); got {name}"
+            )
+        inner = ContextualVectorsAdapter.from_config(cfg, inner)
+    else:
+        inner = _REGISTRY[name].from_config(cfg, pretrained)
 
     if wrapper in ("maxp", "meanp"):
         from matchmaker_tpu.models.adapters import ChunkPoolAdapter

@@ -36,6 +36,7 @@ class KNRM(Ranker):
     dim: int
     n_kernels: int = 11
     pretrained_embeddings: Optional[np.ndarray] = None
+    external_embedding: bool = False  # bert_vectors adapter supplies vectors
 
     @classmethod
     def from_config(cls, config, pretrained=None):
@@ -44,10 +45,12 @@ class KNRM(Ranker):
             dim=config.get("token_embedding_size", 300),
             n_kernels=config.get("knrm_kernels", 11),
             pretrained_embeddings=pretrained,
+            external_embedding=config.get("_external_embedding", False),
         )
 
     def setup(self):
-        self.embedder = TokenEmbedder(self.vocab_size, self.dim, pretrained=self.pretrained_embeddings)
+        if not self.external_embedding:
+            self.embedder = TokenEmbedder(self.vocab_size, self.dim, pretrained=self.pretrained_embeddings)
         self.mu = jnp.asarray(gaussian_kernel_mus(self.n_kernels))
         self.sigma = jnp.asarray(gaussian_kernel_sigmas(self.n_kernels))
         self.dense = nn.Dense(

@@ -42,12 +42,16 @@ class TK(Ranker):
     use_diff_posencoding: bool = True
     mix_hybrid_context: bool = True
     pretrained_embeddings: Optional[np.ndarray] = None
+    # embeddings come from a wrapping module (bert_vectors adapter) — skip the
+    # token table and only expose score_embeddings
+    external_embedding: bool = False
 
     @classmethod
     def from_config(cls, config, pretrained=None):
         return cls(
             vocab_size=config["_vocab_size"],
             dim=config.get("token_embedding_size", 300),
+            external_embedding=config.get("_external_embedding", False),
             kernels_mu=config.get("tk_kernels_mu"),
             kernels_sigma=config.get("tk_kernels_sigma"),
             att_heads=config.get("tk_att_heads", 8),
@@ -60,7 +64,8 @@ class TK(Ranker):
         )
 
     def setup(self):
-        self.embedder = TokenEmbedder(self.vocab_size, self.dim, pretrained=self.pretrained_embeddings)
+        if not self.external_embedding:
+            self.embedder = TokenEmbedder(self.vocab_size, self.dim, pretrained=self.pretrained_embeddings)
         mus = self.kernels_mu or gaussian_kernel_mus(11)
         sigmas = self.kernels_sigma or gaussian_kernel_sigmas(11)
         assert len(mus) == len(sigmas), "len(kernels_mu) != len(kernels_sigma)"

@@ -87,3 +87,70 @@ def test_tk_secondary_output(rng):
     out = model.apply({"params": params}, batch, True)
     assert "cosine_matrix" in out["secondary"]
     assert out["secondary"]["cosine_matrix"].shape == (3, 6, 12)
+
+
+def test_tk_with_bert_vectors_trains(tmp_path, eight_devices):
+    """token_embedder_type bert_vectors: frozen transformer supplies contextual
+    embeddings to TK (reference models/all.py:70-77); TK's head trains while
+    the frozen encoder stays fixed."""
+    import optax
+
+    from matchmaker_tpu.config import Config, auto_fill
+    from matchmaker_tpu.data.tokenization import build_tokenizer
+    from matchmaker_tpu.losses import get_loss
+    from matchmaker_tpu.models import get_model, init_params
+    from matchmaker_tpu.training.optim import build_optimizer
+    from matchmaker_tpu.training.train_step import make_train_step
+
+    config = Config(auto_fill({
+        "model": "tk",
+        "model_input_type": "independent",
+        "token_embedder_type": "bert_vectors",
+        "bert_pretrained_model": "tiny-test",
+        "train_embedding": False,
+        "use_fp16": False,
+        "loss": "ranknet",
+        "max_query_length": 6,
+        "max_doc_length": 12,
+        "batch_size_train": 4,
+        "max_training_steps": 10,
+        "optimizer_warmup_steps": 0,
+        "lr_schedule": "constant",
+        "learning_rate": 0.01,
+        "param_group1_learning_rate": 0.01,
+    }))
+    tokenizer = build_tokenizer(config)
+    model = get_model(config, tokenizer)
+    params = init_params(model, config, jax.random.PRNGKey(0))
+    assert "encoder" in params  # the transformer subtree
+    # no token embedding table: external embeddings replace it
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert not any("token_embedding" in "/".join(str(getattr(p, "key", p)) for p in path)
+                   for path, _ in leaves)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "query_ids": rng.integers(5, 900, (4, 6)).astype(np.int32),
+        "query_mask": np.ones((4, 6), np.float32),
+        "doc_pos_ids": rng.integers(5, 900, (4, 12)).astype(np.int32),
+        "doc_pos_mask": np.ones((4, 12), np.float32),
+        "doc_neg_ids": rng.integers(5, 900, (4, 12)).astype(np.int32),
+        "doc_neg_mask": np.ones((4, 12), np.float32),
+    }
+    # make pos docs overlap the query (plant signal)
+    batch["doc_pos_ids"][:, :6] = batch["query_ids"]
+
+    tx = build_optimizer(config, params)
+    step = make_train_step(model, get_loss(config), tx, config)
+    opt_state = tx.init(params)
+    encoder_before = jax.tree_util.tree_leaves(params["encoder"])[0].copy()
+    losses = []
+    p = params
+    for _ in range(8):
+        p, opt_state, stats = step(p, opt_state, batch)
+        losses.append(float(np.asarray(stats["loss"])))
+    assert losses[-1] < losses[0], losses
+    # frozen encoder: stop_gradient keeps the transformer fixed
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(p["encoder"])[0]), np.asarray(encoder_before)
+    )
