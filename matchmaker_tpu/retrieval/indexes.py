@@ -211,11 +211,18 @@ def kmeans(
 
 
 class IVFIndex(BaseNNIndexer):
-    """Inverted-file index: k-means centroids + padded per-cluster storage.
+    """Inverted-file index: k-means centroids + CSR cluster storage.
 
-    Search: queries → top ``nprobe`` centroids → gather those clusters'
-    (padded) member blocks → blocked MIPS + top-k. All shapes static
-    (replaces faiss IVF search, faiss_indices.py:106-145)."""
+    Storage is the corpus matrix *sorted by cluster* plus an offsets array —
+    exactly the flat footprint (no padding), so it scales to the reference's
+    defaults (20k lists over 8.8M docs) where a padded (C, max, D) layout
+    explodes (replaces faiss IVF, faiss_indices.py:106-145).
+
+    Search (all static shapes, one compile per chunk shape): queries → top
+    ``nprobe`` centroids → each query's candidate rows are materialized from
+    the CSR segments with a searchsorted-over-prefix-sums gather into a fixed
+    row budget R (best clusters first, so an overflow drops only the
+    worst-ranked probes) → one masked einsum + top-k."""
 
     def __init__(self, config=None, mesh=None):
         super().__init__(config)
@@ -223,96 +230,126 @@ class IVFIndex(BaseNNIndexer):
         self.n_clusters = config.get("faiss_ivf_list_count", 100)
         self.nprobe = config.get("faiss_ivf_nprobe", 8)
         self.train_iters = config.get("ivf_train_iters", 10)
+        # per-query candidate row budget: slack × nprobe × mean cluster size
+        # (override with ivf_candidate_rows)
+        self.candidate_rows = config.get("ivf_candidate_rows")
+        self.candidate_slack = config.get("ivf_candidate_slack", 2.0)
         self.mesh = mesh
         self._centroids = None
-        self._cluster_vectors = None  # (C, M, D) padded
-        self._cluster_ids = None  # (C, M) int row ids, -1 padded
+        self._sorted_vectors = None  # (N, D) corpus sorted by cluster
+        self._sorted_rows = None  # (N,) original row index per sorted row
+        self._offsets = None  # (C+1,) cluster start offsets into sorted rows
         self._ids = None
 
     def index(self, ids: np.ndarray, vectors: np.ndarray) -> None:
         self._ids = np.asarray(ids)
         vectors = np.asarray(vectors, dtype=np.float32)
-        n, d = vectors.shape
+        n, _ = vectors.shape
         k = min(self.n_clusters, n)
         centroids, assign = kmeans(jnp.asarray(vectors), k, self.train_iters)
-        centroids = np.asarray(centroids)
         assign = np.asarray(assign)
-
-        max_size = max(1, int(np.bincount(assign, minlength=k).max()))
-        cluster_vectors = np.zeros((k, max_size, d), dtype=self.dtype)
-        cluster_rows = np.full((k, max_size), -1, dtype=np.int64)
-        fill = np.zeros(k, dtype=np.int64)
-        for row, c in enumerate(assign):
-            cluster_vectors[c, fill[c]] = vectors[row]
-            cluster_rows[c, fill[c]] = row
-            fill[c] += 1
-        self._centroids = centroids
-        self._cluster_vectors = cluster_vectors
-        self._cluster_ids = cluster_rows
+        order = np.argsort(assign, kind="stable")
+        self._centroids = np.asarray(centroids)
+        self._sorted_vectors = vectors[order].astype(self.dtype)
+        self._sorted_rows = order.astype(np.int64)
+        counts = np.bincount(assign, minlength=k)
+        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.n_clusters_eff = k
+
+    def _budget(self, nprobe: int) -> int:
+        if self.candidate_rows:
+            return int(self.candidate_rows)
+        n = self._sorted_vectors.shape[0]
+        mean_cluster = max(1.0, n / self.n_clusters_eff)
+        r = int(self.candidate_slack * nprobe * mean_cluster)
+        return min(n, -(-r // 128) * 128)
 
     def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
         q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
         centroids = jnp.asarray(self._centroids)
-        cvecs = jnp.asarray(self._cluster_vectors, dtype=jnp.float32)
-        crows = jnp.asarray(self._cluster_ids)
+        corpus = jnp.asarray(self._sorted_vectors, dtype=jnp.float32)
+        offsets = jnp.asarray(self._offsets)
         nprobe = min(self.nprobe, self.n_clusters_eff)
-        max_cluster = self._cluster_vectors.shape[1]
-        dim = self._cluster_vectors.shape[2]
-        # bound the gathered (chunk, nprobe, M, D) working set to ~1 GB —
-        # at reference defaults (nprobe 500) an unchunked gather would need
-        # tens of GB for a full query batch
-        budget_rows = max(1, int(1e9 / (nprobe * max_cluster * dim * 4)))
+        r_budget = self._budget(nprobe)
+        dim = self._sorted_vectors.shape[1]
+        # bound the (Qc, R, D) gathered working set to ~1 GB
+        chunk_q = max(1, int(1e9 / (r_budget * dim * 4)))
 
         @jax.jit
         def run_chunk(qc):
             cent_scores = qc @ centroids.T  # (Qc, C)
-            probe = jax.lax.top_k(cent_scores, nprobe)[1]  # (Qc, nprobe)
-            sel_vecs = cvecs[probe]  # (Qc, nprobe, M, D)
-            sel_rows = crows[probe]  # (Qc, nprobe, M)
-            scores = jnp.einsum("qd,qpmd->qpm", qc, sel_vecs, preferred_element_type=jnp.float32)
-            scores = jnp.where(sel_rows >= 0, scores, -jnp.inf)
-            flat_scores = scores.reshape(qc.shape[0], -1)
-            flat_rows = sel_rows.reshape(qc.shape[0], -1)
-            k = min(top_n, flat_scores.shape[1])
-            vals, pos = jax.lax.top_k(flat_scores, k)
-            return vals, jnp.take_along_axis(flat_rows, pos, axis=1)
+            probe = jax.lax.top_k(cent_scores, nprobe)[1]  # (Qc, nprobe) best-first
+            starts = offsets[probe]  # (Qc, nprobe)
+            lens = offsets[probe + 1] - starts
+            prefix = jnp.concatenate(
+                [jnp.zeros((qc.shape[0], 1), lens.dtype), jnp.cumsum(lens, axis=1)], axis=1
+            )  # (Qc, nprobe+1)
+            total = prefix[:, -1]
+            j = jnp.arange(r_budget, dtype=lens.dtype)  # (R,)
+            # segment of candidate-slot j: which probed cluster it falls into
+            seg = jax.vmap(lambda p: jnp.searchsorted(p, j, side="right") - 1)(prefix)
+            seg = jnp.clip(seg, 0, nprobe - 1)  # (Qc, R)
+            idx = jnp.take_along_axis(starts, seg, axis=1) + (
+                j[None, :] - jnp.take_along_axis(prefix, seg, axis=1)
+            )
+            valid = j[None, :] < total[:, None]
+            idx = jnp.where(valid, idx, 0)
+            cand = corpus[idx]  # (Qc, R, D) gather from CSR storage
+            scores = jnp.einsum("qd,qrd->qr", qc, cand, preferred_element_type=jnp.float32)
+            scores = jnp.where(valid, scores, -jnp.inf)
+            k = min(top_n, r_budget)
+            vals, pos = jax.lax.top_k(scores, k)
+            sorted_idx = jnp.take_along_axis(idx, pos, axis=1)
+            sorted_idx = jnp.where(jnp.isfinite(vals), sorted_idx, -1)
+            return vals, sorted_idx
 
         out_vals, out_rows = [], []
         n_q = q.shape[0]
-        for start in range(0, n_q, budget_rows):
-            chunk = q[start : start + budget_rows]
-            if chunk.shape[0] < budget_rows and start > 0:
+        for start in range(0, n_q, chunk_q):
+            chunk = q[start : start + chunk_q]
+            if chunk.shape[0] < chunk_q and start > 0:
                 # pad to the compiled chunk shape to avoid a fresh compile
-                pad = budget_rows - chunk.shape[0]
+                pad = chunk_q - chunk.shape[0]
                 v, r = run_chunk(jnp.pad(chunk, ((0, pad), (0, 0))))
                 v, r = v[: chunk.shape[0]], r[: chunk.shape[0]]
             else:
                 v, r = run_chunk(chunk)
             out_vals.append(np.asarray(v))
             out_rows.append(np.asarray(r))
-        vals, rows = np.concatenate(out_vals), np.concatenate(out_rows)
+        vals, sorted_rows = np.concatenate(out_vals), np.concatenate(out_rows)
+        rows = np.where(sorted_rows >= 0, self._sorted_rows[np.clip(sorted_rows, 0, None)], -1)
         if vals.shape[1] < top_n:
             pad = top_n - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
             rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
         return gather_ids(self._ids, rows, len(self._ids), vals)
 
+    def storage_bytes(self) -> int:
+        """Index memory footprint (CSR: ~the flat corpus footprint)."""
+        return (
+            self._sorted_vectors.nbytes
+            + self._sorted_rows.nbytes
+            + self._offsets.nbytes
+            + self._centroids.nbytes
+        )
+
     def save(self, folder: str) -> None:
         os.makedirs(folder, exist_ok=True)
         np.savez_compressed(
             os.path.join(folder, "ivf_index.npz"),
             centroids=self._centroids,
-            cluster_vectors=self._cluster_vectors,
-            cluster_ids=self._cluster_ids,
+            sorted_vectors=self._sorted_vectors,
+            sorted_rows=self._sorted_rows,
+            offsets=self._offsets,
             ids=self._ids,
         )
 
     def load(self, folder: str) -> None:
         data = np.load(os.path.join(folder, "ivf_index.npz"), allow_pickle=True)
         self._centroids = data["centroids"]
-        self._cluster_vectors = data["cluster_vectors"]
-        self._cluster_ids = data["cluster_ids"]
+        self._sorted_vectors = data["sorted_vectors"]
+        self._sorted_rows = data["sorted_rows"]
+        self._offsets = data["offsets"]
         self._ids = data["ids"]
         self.n_clusters_eff = self._centroids.shape[0]
 
