@@ -142,6 +142,145 @@ def cmd_intersect_qrels(args) -> int:
     return 0
 
 
+def _parse_trec_run_line(line: str):
+    """TREC run line (6-col ``qid Q0 did rank score tag``) or 4-col
+    ``qid did rank score``; returns (qid, did, rank) or None."""
+    parts = line.split()
+    if len(parts) >= 6:
+        return parts[0], parts[2], int(parts[3])
+    if len(parts) == 4:
+        return parts[0], parts[1], int(parts[2])
+    return None
+
+
+def cmd_smart_earlystopping(args) -> int:
+    """Validation subset for smart early stopping (reference
+    generate_smart_earlystopping_retrieval.py): bin queries into 5 buckets by
+    a per-query baseline metric, sample evenly across buckets, emit tuples
+    from the candidate file (≤ max rank) plus every judged positive."""
+    import numpy as np
+
+    qrels = load_qrels(args.qrels)
+    collection = _read_tsv(args.collection)
+    queries = _read_tsv(args.queries)
+    metrics: Dict[str, float] = {}
+    with open(args.candidate_metric, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                metrics[parts[0]] = float(parts[1])
+    rng = random.Random(args.seed)
+
+    values = np.array(list(metrics.values()))
+    lo, hi = values.min(), values.max()
+    edges = np.arange(lo, hi, max((hi - lo) / 5, 1e-12))
+    indices = np.digitize(values, edges)
+    bins = [[] for _ in range(5)]
+    for i, qid in enumerate(metrics):
+        bins[min(indices[i] - 1, 4)].append(qid)
+    per_bin = args.n_queries // 5
+    sampled = set()
+    for b in bins:
+        sampled.update(rng.sample(b, min(len(b), per_bin)))
+    print(f"sampled {len(sampled)} queries across 5 metric bins")
+
+    known = set()
+    n = 0
+    with open(args.out, "w", encoding="utf-8") as out:
+        with open(args.candidates, "r", encoding="utf-8") as f:
+            for line in f:
+                parsed = _parse_trec_run_line(line)
+                if parsed is None:
+                    continue
+                qid, did, rank = parsed
+                if qid not in sampled or rank > args.max_rank:
+                    continue
+                if (qid, did) in known or qid not in queries or did not in collection:
+                    continue
+                known.add((qid, did))
+                out.write(f"{qid}\t{did}\t{queries[qid]}\t{collection[did]}\n")
+                n += 1
+        for qid in sampled:
+            for did in qrels.get(qid, {}):
+                if (qid, did) not in known and qid in queries and did in collection:
+                    known.add((qid, did))
+                    out.write(f"{qid}\t{did}\t{queries[qid]}\t{collection[did]}\n")
+                    n += 1
+    print(f"wrote {n} tuples -> {args.out}")
+    return 0
+
+
+def cmd_validation_from_n_candidates(args) -> int:
+    """Merge several candidate runs into one deduplicated tuple file
+    (reference generate_validation_from_n_candidate_sets.py)."""
+    collection = _read_tsv(args.collection)
+    queries = _read_tsv(args.queries)
+    known = set()
+    n = 0
+    with open(args.out, "w", encoding="utf-8") as out:
+        for path in args.candidates:
+            with open(path, "r", encoding="utf-8") as f:
+                for line in f:
+                    parsed = _parse_trec_run_line(line)
+                    if parsed is None:
+                        continue
+                    qid, did, _ = parsed
+                    if (qid, did) in known or qid not in queries or did not in collection:
+                        continue
+                    known.add((qid, did))
+                    out.write(f"{qid}\t{did}\t{queries[qid]}\t{collection[did]}\n")
+                    n += 1
+    print(f"wrote {n} deduped tuples from {len(args.candidates)} runs -> {args.out}")
+    return 0
+
+
+def cmd_msmarco_qidpid(args) -> int:
+    """Text triples → id triples by reverse lookup over collection/queries
+    (reference msmarco_makeqidpid.py)."""
+    q_rev = {text: qid for qid, text in _read_tsv(args.queries).items()}
+    p_rev = {text: pid for pid, text in _read_tsv(args.collection).items()}
+    n = skipped = 0
+    with open(args.triples, "r", encoding="utf-8") as f, open(args.out, "w", encoding="utf-8") as out:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3:
+                continue
+            q, pos, neg = parts[0], parts[1], parts[2]
+            if q in q_rev and pos in p_rev and neg in p_rev:
+                out.write(f"{q_rev[q]}\t{p_rev[pos]}\t{p_rev[neg]}\n")
+                n += 1
+            else:
+                skipped += 1
+    print(f"wrote {n} id triples ({skipped} unmatched) -> {args.out}")
+    return 0
+
+
+def cmd_msmarco_qa_qrels(args) -> int:
+    """MS MARCO QA json (query_id + passages[].is_selected) → qrels of
+    selected passages (reference msmarco_generate_qrel.py). Accepts both the
+    column-oriented pandas json layout and a list of records."""
+    import json
+
+    with open(args.inp, "r", encoding="utf-8") as f:
+        data = json.load(f)
+    if isinstance(data, dict) and "query_id" in data:
+        # column-oriented: {"query_id": {row: id}, "passages": {row: [...]}}
+        rows = [
+            (data["query_id"][k], data["passages"][k]) for k in data["query_id"]
+        ]
+    else:
+        rows = [(r["query_id"], r["passages"]) for r in data]
+    n = 0
+    with open(args.out, "w", encoding="utf-8") as out:
+        for qid, passages in rows:
+            for p_i, passage in enumerate(passages):
+                if passage.get("is_selected") == 1:
+                    out.write(f"{qid} 0 {passage.get('passage_id', p_i)} 1\n")
+                    n += 1
+    print(f"wrote {n} qrels -> {args.out}")
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(prog="matchmaker_tpu.preprocessing")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -189,6 +328,37 @@ def main() -> int:
     p.add_argument("--queries", required=True)
     p.add_argument("--out-queries", required=True)
     p.set_defaults(fn=cmd_intersect_qrels)
+
+    p = sub.add_parser("smart-earlystopping")
+    p.add_argument("--candidates", required=True)
+    p.add_argument("--candidate-metric", required=True)
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--collection", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-queries", type=int, default=4000)
+    p.add_argument("--max-rank", type=int, default=100)
+    p.add_argument("--seed", type=int, default=208973249)
+    p.set_defaults(fn=cmd_smart_earlystopping)
+
+    p = sub.add_parser("validation-from-n-candidates")
+    p.add_argument("--candidates", nargs="+", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--collection", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_validation_from_n_candidates)
+
+    p = sub.add_parser("msmarco-qidpid")
+    p.add_argument("--triples", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--collection", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_msmarco_qidpid)
+
+    p = sub.add_parser("msmarco-qa-qrels")
+    p.add_argument("--inp", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_msmarco_qa_qrels)
 
     args = parser.parse_args()
     return args.fn(args)

@@ -146,3 +146,75 @@ def test_hf_export_roundtrip(tmp_path, rng):
     flax_out = model.apply({"params": params}, ids, mask)
     re_out = model.apply({"params": reimported}, ids, mask)
     np.testing.assert_allclose(np.asarray(flax_out), np.asarray(re_out), rtol=1e-5, atol=1e-5)
+
+
+def test_preprocessing_smart_earlystopping(prep_files):
+    (prep_files / "metric.tsv").write_text("q1\t0.9\nq2\t0.1\n")
+    out = prep_files / "smart_val.tsv"
+    r = _run_prep([
+        "smart-earlystopping", "--candidates", str(prep_files / "cands.txt"),
+        "--candidate-metric", str(prep_files / "metric.tsv"),
+        "--qrels", str(prep_files / "qrels.txt"),
+        "--queries", str(prep_files / "queries.tsv"),
+        "--collection", str(prep_files / "collection.tsv"),
+        "--out", str(out), "--n-queries", "10",
+    ])
+    assert r.returncode == 0, r.stderr
+    lines = [l.split("\t") for l in out.read_text().strip().split("\n")]
+    pairs = {(l[0], l[1]) for l in lines}
+    # candidates included, and every judged positive force-included
+    assert ("q1", "d1") in pairs and ("q2", "d4") in pairs
+    assert all(len(l) == 4 for l in lines)
+    assert len(pairs) == len(lines)  # deduped
+
+
+def test_preprocessing_validation_from_n_candidates(prep_files):
+    (prep_files / "cands2.txt").write_text("q1 Q0 d2 1 3.3 run2\nq1 Q0 d1 2 3.0 run2\n")
+    out = prep_files / "merged_val.tsv"
+    r = _run_prep([
+        "validation-from-n-candidates",
+        "--candidates", str(prep_files / "cands.txt"), str(prep_files / "cands2.txt"),
+        "--queries", str(prep_files / "queries.tsv"),
+        "--collection", str(prep_files / "collection.tsv"),
+        "--out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr
+    lines = [l.split("\t") for l in out.read_text().strip().split("\n")]
+    pairs = [(l[0], l[1]) for l in lines]
+    assert ("q1", "d2") in pairs  # from the second run
+    assert len(set(pairs)) == len(pairs)  # (q1, d1) appears once despite both runs
+
+
+def test_preprocessing_msmarco_qidpid(prep_files):
+    (prep_files / "text_triples.tsv").write_text(
+        "alpha beta\talpha beta alpha\tnoise words here\n"
+        "gamma delta\tdelta gamma\tunknown text\n"
+    )
+    out = prep_files / "id_triples.tsv"
+    r = _run_prep([
+        "msmarco-qidpid", "--triples", str(prep_files / "text_triples.tsv"),
+        "--queries", str(prep_files / "queries.tsv"),
+        "--collection", str(prep_files / "collection.tsv"),
+        "--out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().strip().split("\n")
+    assert lines == ["q1\td1\td3"]  # second triple's neg text unmatched → skipped
+
+
+def test_preprocessing_msmarco_qa_qrels(tmp_path):
+    import json
+
+    data = [
+        {"query_id": 7, "passages": [
+            {"passage_text": "a", "is_selected": 0},
+            {"passage_text": "b", "is_selected": 1},
+        ]},
+        {"query_id": 8, "passages": [{"passage_text": "c", "is_selected": 1, "passage_id": "p9"}]},
+    ]
+    inp = tmp_path / "dev.json"
+    inp.write_text(json.dumps(data))
+    out = tmp_path / "qrels.txt"
+    r = _run_prep(["msmarco-qa-qrels", "--inp", str(inp), "--out", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == "7 0 1 1\n8 0 p9 1\n"
