@@ -154,10 +154,34 @@ def auto_fill(config: Dict[str, Any]) -> Dict[str, Any]:
     return config
 
 
+def resolve_hub_config(name: str) -> Optional[str]:
+    """HF-hub model name (``org/model``) → local config stub path, searched in
+    the repo's ``configs/huggingface_modelhub/`` and the cwd's (reference
+    utils/config.py:30-36 + config/huggingface_modelhub/)."""
+    if os.path.isabs(name) or os.path.exists(name):
+        return None
+    repo_configs = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+    for base in (repo_configs, os.path.join(os.getcwd(), "configs"), os.path.join(os.getcwd(), "config")):
+        stub = os.path.join(base, "huggingface_modelhub", name + ".yaml")
+        if os.path.exists(stub):
+            return stub
+    return None
+
+
 def get_config(config_paths: Iterable[str], overwrites: Optional[str] = None) -> Config:
-    """Merge YAML files in order (later wins), apply overwrites, auto-fill."""
+    """Merge YAML files in order (later wins), apply overwrites, auto-fill.
+    Paths that don't exist but name a known HF-hub model resolve to the local
+    stub in configs/huggingface_modelhub/."""
     merged: Dict[str, Any] = {}
     for path in config_paths:
+        if not os.path.exists(path):
+            stub = resolve_hub_config(path)
+            if stub is None:
+                raise FileNotFoundError(
+                    f"{path} does not exist locally and is not a known huggingface "
+                    "config (add a stub under configs/huggingface_modelhub/)"
+                )
+            path = stub
         with open(path, "r", encoding="utf-8") as f:
             loaded = _yaml_load(f) or {}
         if not isinstance(loaded, dict):

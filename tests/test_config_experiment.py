@@ -93,3 +93,20 @@ def test_parse_candidate_set(tmp_path):
     p.write_text("q1 d1 1 9.9\nq1 d2 2 9.1\nq1 d3 3 8.0\n")
     cs = parse_candidate_set(str(p), depth=2)
     assert cs == {"q1": {"d1": 1, "d2": 2}}
+
+
+def test_hub_config_stub_resolution():
+    """HF-hub model names resolve to local config stubs
+    (reference utils/config.py:30-36 + config/huggingface_modelhub/)."""
+    from matchmaker_tpu.config import get_config_single, resolve_hub_config
+
+    assert resolve_hub_config("sebastian-hofstaetter/distilbert-dot-tas_b-b256-msmarco")
+    cfg = get_config_single("sebastian-hofstaetter/distilbert-dot-tas_b-b256-msmarco")
+    assert cfg["model"] == "bert_dot"
+    assert cfg["bert_pretrained_model"].startswith("sebastian-hofstaetter/")
+    assert resolve_hub_config("unknown-org/not-a-model") is None
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        get_config_single("unknown-org/not-a-model")
