@@ -506,11 +506,21 @@ class StreamingFlatIndex(BaseNNIndexer):
 
 def build_index(config, mesh=None) -> BaseNNIndexer:
     """Index factory keyed on ``faiss_index_type`` (reference
-    dense_retrieval.py:308-320); hnsw/ontology types map onto the IVF path."""
+    dense_retrieval.py:308-320). hnsw → first-party native graph index
+    (falls back to IVF when the native lib can't build); scann → IVF."""
     kind = config.get("faiss_index_type", "flat")
     if kind in ("flat", "exact", "full"):
         return FlatIndex(config, mesh)
-    if kind in ("ivf", "hnsw", "scann"):
+    if kind == "hnsw":
+        from matchmaker_tpu.retrieval.hnsw import hnsw_available
+
+        if hnsw_available():
+            from matchmaker_tpu.retrieval.hnsw import HNSWIndex
+
+            return HNSWIndex(config, mesh)
+        print("[index] native HNSW unavailable; falling back to IVF")
+        return IVFIndex(config, mesh)
+    if kind in ("ivf", "scann"):
         return IVFIndex(config, mesh)
     if kind in ("sharded_ondisk", "streaming"):
         return StreamingFlatIndex(config, mesh)

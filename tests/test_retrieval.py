@@ -256,3 +256,52 @@ def test_ivf_candidate_budget_overflow_drops_worst_probes(rng):
     # the query vector itself lives in its own best cluster → must be found
     for i in range(4):
         assert int(out_ids[i][0]) == i, (i, out_ids[i])
+
+
+def test_hnsw_native_index_recall_and_roundtrip(rng, tmp_path):
+    """First-party C++ HNSW (native/hnsw.cpp): recall vs exact search on a
+    normalized corpus, and save/load roundtrip (reference FaissHNSWIndexer,
+    faiss_indices.py:76-104)."""
+    import pytest
+
+    from matchmaker_tpu.retrieval.hnsw import hnsw_available, HNSWIndex
+
+    if not hnsw_available():
+        pytest.skip("native hnsw lib not built")
+
+    n, d = 5000, 32
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    ids = np.arange(n)
+    index = HNSWIndex({"faiss_hnsw_graph_neighbors": 16, "hnsw_ef_search": 128,
+                       "token_dtype": "float32"})
+    index.prepare(d)
+    index.index(ids, vectors)
+
+    queries = vectors[rng.integers(0, n, 64)]
+    scores, out_ids = index.search(queries, top_n=10)
+
+    exact = FlatIndex({"token_dtype": "float32"})
+    exact.prepare(d)
+    exact.index(ids, vectors)
+    _, exact_ids = exact.search(queries, top_n=10)
+
+    top1 = np.mean([out_ids[i][0] == exact_ids[i][0] for i in range(64)])
+    rec10 = np.mean([
+        len(set(map(int, out_ids[i])) & set(map(int, exact_ids[i]))) / 10 for i in range(64)
+    ])
+    assert top1 >= 0.95, top1
+    assert rec10 >= 0.85, rec10
+
+    index.save(str(tmp_path))
+    index2 = HNSWIndex({"hnsw_ef_search": 128, "token_dtype": "float32"})
+    index2.load(str(tmp_path))
+    s2, i2 = index2.search(queries, top_n=10)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(out_ids))
+
+
+def test_build_index_hnsw_kind():
+    from matchmaker_tpu.retrieval.indexes import build_index
+
+    idx = build_index({"faiss_index_type": "hnsw", "token_dtype": "float32"})
+    assert type(idx).__name__ in ("HNSWIndex", "IVFIndex")
