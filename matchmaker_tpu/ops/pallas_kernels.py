@@ -1,28 +1,29 @@
-"""Pallas TPU kernels for the hot scoring ops.
+"""Pallas TPU kernel for ColBERT all-pairs MaxSim (round-2 blocked design).
 
-Each kernel fuses a matmul with its reduction epilogue so the big intermediate
-never leaves VMEM:
+:func:`maxsim_all_pairs_pallas_v2` fuses the flat (Bq·Lq, Bd·Ld) score matmul
+with its masked segmented-max / masked-sum epilogue so the intermediate never
+leaves VMEM: the grid runs over doc tiles, each cell issues ONE
+(Bq·Lq, D)·(D, TD·Ld_pad) MXU matmul and reduces max-over-doc / sum-over-query
+in-register with a static unroll over the TD docs (Ld padded to a lane
+multiple so every per-doc column slice is 128-aligned). Off-TPU it runs in
+interpreter mode; tests compare it against the jnp reference.
 
-- :func:`maxsim_all_pairs_pallas` — ColBERT all-pairs MaxSim. The unfused
-  jnp path (ops/maxsim.py) materializes a (Bq, Lq, Bd, Ld) tensor in HBM
-  (e.g. 32×32×64×200×4B ≈ 52 MB per teacher batch); here each grid cell
-  computes 8 query rows' (Lq, Ld) tiles on the MXU, reduces max-over-doc /
-  sum-over-query on the VPU, and writes an (8, Bd) tile.
-- :func:`kernel_pooling_pallas` — TK/KNRM gaussian kernel pooling. The
-  unfused path materializes (B, Lq, Ld, K); here the K kernel activations are
-  computed and reduced per batch element entirely in VMEM.
+STATUS — measured on v5e, chained-dependency timing (bench docstring in
+bench.py explains the tunnel protocol):
 
-Grid/block layout follows Mosaic's tiling rules: batch is processed in tiles
-of 8 (sublane multiple); trailing dims stay whole. Off-TPU the kernels run in
-interpreter mode (tests compare them against the jnp reference paths).
+  round 1 (per-doc fori_loop): 79.5 ms vs XLA 7.45 ms → retired.
+  round 2 (this kernel), teacher shape Bq32/Lq32/Bd64/Ld200/D128:
+      XLA 0.299 ms  |  pallas_v2 0.306 ms   (bit-exact, 0.98–1.00x)
+  Bq128/Bd256: XLA 3.184 ms | pallas_v2 3.176 ms (16.9 TF/s both, 1.00x)
 
-STATUS (v5e, Bq=32 Lq=32 Bd=64 Ld=200 D=128): the Pallas MaxSim is bit-exact
-vs the jnp path but 10x slower (79.5 ms vs 7.45 ms) — the per-doc fori_loop
-issues (256×128)·(128×200) matmuls that starve the MXU, while XLA fuses the
-single big matmul + reductions without materializing the full intermediate.
-The jnp implementations (ops/maxsim.py, ops/kernel_pooling.py) are therefore
-the production paths; these kernels are kept as verified scaffolding for a
-future blocked rewrite (doc-block matmuls + in-register segmented max).
+Conclusion: XLA's output fusion already tiles the reduction into the matmul —
+the hand kernel reaches parity, not a win, so the production MaxSim stays the
+jnp path (ops/maxsim.py) and this kernel is retained as the measured-parity
+alternative. The round-1 kernel-pooling kernel (10x slower, same fori_loop
+pathology; XLA shown at-parity on the identical fusion pattern here) was
+deleted rather than rewritten — the jnp path (ops/kernel_pooling.py) is
+production. SURVEY §7's "fused Pallas" deliverable is thereby resolved by
+measurement, per VERDICT round-1 item 3.
 """
 
 from __future__ import annotations
@@ -53,153 +54,76 @@ def _pad_batch(x: jnp.ndarray, mult: int = _TILE) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# all-pairs MaxSim
+# all-pairs MaxSim v2: blocked — one MXU matmul per cell, segmented max
+# unrolled statically over the doc tile
 # ---------------------------------------------------------------------------
 
 
-def _maxsim_kernel(q_ref, qm_ref, d_ref, dm_ref, out_ref):
-    # q_ref: (8, Lq, D) tile; d_ref: (Bd, Ld, D) full; out: (8, Bd)
-    tile, lq, dim = q_ref.shape
-    bd, ld, _ = d_ref.shape
-    q_flat = q_ref[...].reshape(tile * lq, dim)
-    q_mask = qm_ref[...]  # (8, Lq)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, bd), 1)
-
-    def per_doc(j, acc):
-        d_j = d_ref[j]  # (Ld, D)
-        scores = jax.lax.dot_general(
-            q_flat, d_j, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (8*Lq, Ld)
-        scores = jnp.where(dm_ref[j][None, :] > 0, scores, NEG_FILL)
-        best = scores.max(axis=1).reshape(tile, lq)  # (8, Lq)
-        sums = (best * q_mask).sum(axis=1)  # (8,)
-        # dynamic column stores are not supported by Mosaic — accumulate via a
-        # one-hot outer product instead and store the tile once at the end
-        return acc + sums[:, None] * (col_ids == j).astype(jnp.float32)
-
-    out_ref[...] = jax.lax.fori_loop(0, bd, per_doc, jnp.zeros((tile, bd), jnp.float32))
+def _maxsim_v2_kernel(q_ref, qm_ref, d_ref, dm_ref, out_ref, *, td, ld_pad, compute_dtype):
+    # q_ref: (Bq, Lq, D) full; d_ref: (TD, Ld_pad, D) tile; out: (TD, Bq)
+    bq, lq, dim = q_ref.shape
+    q_flat = q_ref[...].reshape(bq * lq, dim).astype(compute_dtype)
+    d_flat = d_ref[...].reshape(td * ld_pad, dim).astype(compute_dtype)
+    # ONE big MXU matmul per grid cell: (Bq·Lq, TD·Ld_pad), f32 accumulate
+    scores = jax.lax.dot_general(
+        q_flat, d_flat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    q_mask = qm_ref[...]
+    rows = []
+    for t in range(td):  # static unroll: slices are 128-aligned (ld_pad % 128 == 0)
+        s = scores[:, t * ld_pad : (t + 1) * ld_pad]
+        s = jnp.where(dm_ref[t][None, :] > 0, s, NEG_FILL)
+        best = s.max(axis=1).reshape(bq, lq)  # (Bq, Lq)
+        rows.append((best * q_mask).sum(axis=1))  # (Bq,)
+    out_ref[...] = jnp.stack(rows, axis=0)  # (TD, Bq)
 
 
-def maxsim_all_pairs_pallas(
+def maxsim_all_pairs_pallas_v2(
     q_vecs: jnp.ndarray,  # (Bq, Lq, D)
     d_vecs: jnp.ndarray,  # (Bd, Ld, D)
     q_mask: jnp.ndarray,  # (Bq, Lq)
     d_mask: jnp.ndarray,  # (Bd, Ld)
+    td: int = 8,
+    compute_dtype: jnp.dtype = jnp.float32,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """(Bq, Bd) all-pairs MaxSim, fused in VMEM."""
+    """(Bq, Bd) all-pairs MaxSim — blocked round-2 kernel (see module STATUS).
+
+    Grid over doc tiles; every cell sees all queries (the q operand stays
+    resident in VMEM across cells). Output is computed (Bd, Bq)-transposed so
+    block shapes satisfy Mosaic's (8, 128)-or-full-dim tiling rule."""
     bq = q_vecs.shape[0]
     bd, ld, dim = d_vecs.shape
     if interpret is None:
         interpret = not _on_tpu()
 
-    q_vecs = _pad_batch(q_vecs.astype(jnp.float32))
-    q_mask = _pad_batch(q_mask.astype(jnp.float32))
+    # pad Ld to a lane multiple so per-doc column slices stay 128-aligned;
+    # padded positions carry mask 0 → forced to NEG_FILL before the max
+    ld_pad = -(-ld // 128) * 128
+    if ld_pad != ld:
+        d_vecs = jnp.pad(d_vecs, ((0, 0), (0, ld_pad - ld), (0, 0)))
+        d_mask = jnp.pad(d_mask, ((0, 0), (0, ld_pad - ld)))
+    q_vecs = _pad_batch(q_vecs.astype(jnp.float32), 8)
+    q_mask = _pad_batch(q_mask.astype(jnp.float32), 8)
+    d_vecs = _pad_batch(d_vecs.astype(jnp.float32), td)
+    d_mask = _pad_batch(d_mask.astype(jnp.float32), td)
     bq_pad, lq, _ = q_vecs.shape
-
-    out = pl.pallas_call(
-        _maxsim_kernel,
-        grid=(bq_pad // _TILE,),
-        in_specs=[
-            pl.BlockSpec((_TILE, lq, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((_TILE, lq), lambda i: (i, 0)),
-            pl.BlockSpec((bd, ld, dim), lambda i: (0, 0, 0)),
-            pl.BlockSpec((bd, ld), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((_TILE, bd), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bq_pad, bd), jnp.float32),
-        interpret=interpret,
-    )(q_vecs, q_mask, d_vecs.astype(jnp.float32), d_mask.astype(jnp.float32))
-    return out[:bq]
-
-
-# ---------------------------------------------------------------------------
-# fused gaussian kernel pooling (KNRM/TK scoring tail)
-# ---------------------------------------------------------------------------
-
-
-def _kernel_pool_kernel(
-    q_ref, d_ref, qm_ref, dm_ref, mu_ref, sigma_ref, alpha_ref, out_ref, *, log_scale, mask_match
-):
-    tile, lq, dim = q_ref.shape
-    _, ld, _ = d_ref.shape
-    k = mu_ref.shape[1]
-    mu = mu_ref[...]  # (1, K)
-    sigma = sigma_ref[...]
-    alpha = alpha_ref[...]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-
-    def per_row(b, acc):
-        match = jax.lax.dot_general(
-            q_ref[b], d_ref[b], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Lq, Ld)
-        q_m = qm_ref[b]
-        d_m = dm_ref[b]
-        if mask_match:
-            match = match * (q_m[:, None] * d_m[None, :])
-        # all K kernel activations vectorized: (Lq, Ld, K)
-        acts = jnp.exp(
-            -((match[:, :, None] - mu[None, :, :]) ** 2) / (2.0 * sigma[None, :, :] ** 2)
-        ) * d_m[None, :, None]
-        per_q = acts.sum(axis=1) * alpha  # (Lq, K)
-        feats = (jnp.log(jnp.clip(per_q, min=1e-10)) * log_scale * q_m[:, None]).sum(axis=0)  # (K,)
-        return acc + feats[None, :] * (row_ids == b).astype(jnp.float32)
-
-    out_ref[...] = jax.lax.fori_loop(0, tile, per_row, jnp.zeros((tile, k), jnp.float32))
-
-
-def kernel_pooling_pallas(
-    q_norm: jnp.ndarray,  # (B, Lq, D) L2-normalized embeddings
-    d_norm: jnp.ndarray,  # (B, Ld, D)
-    q_mask: jnp.ndarray,
-    d_mask: jnp.ndarray,
-    mu: jnp.ndarray,  # (K,)
-    sigma: jnp.ndarray,
-    alpha: jnp.ndarray | None = None,
-    log_scale: float = 1.0,
-    mask_match_matrix: bool = True,
-    interpret: bool | None = None,
-) -> jnp.ndarray:
-    """(B, K) kernel-pooling features, fully fused per batch element."""
-    b = q_norm.shape[0]
-    k = mu.shape[0]
-    if alpha is None:
-        alpha = jnp.ones((k,), jnp.float32)
-    if interpret is None:
-        interpret = not _on_tpu()
-
-    q_norm = _pad_batch(q_norm.astype(jnp.float32))
-    d_norm = _pad_batch(d_norm.astype(jnp.float32))
-    q_mask = _pad_batch(q_mask.astype(jnp.float32))
-    d_mask = _pad_batch(d_mask.astype(jnp.float32))
-    b_pad, lq, dim = q_norm.shape
-    _, ld, _ = d_norm.shape
+    bd_pad = d_vecs.shape[0]
 
     kernel = functools.partial(
-        _kernel_pool_kernel, log_scale=log_scale, mask_match=mask_match_matrix
+        _maxsim_v2_kernel, td=td, ld_pad=ld_pad, compute_dtype=compute_dtype
     )
-    out = pl.pallas_call(
+    out_t = pl.pallas_call(
         kernel,
-        grid=(b_pad // _TILE,),
+        grid=(bd_pad // td,),
         in_specs=[
-            pl.BlockSpec((_TILE, lq, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((_TILE, ld, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((_TILE, lq), lambda i: (i, 0)),
-            pl.BlockSpec((_TILE, ld), lambda i: (i, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((bq_pad, lq, dim), lambda j: (0, 0, 0)),
+            pl.BlockSpec((bq_pad, lq), lambda j: (0, 0)),
+            pl.BlockSpec((td, ld_pad, dim), lambda j: (j, 0, 0)),
+            pl.BlockSpec((td, ld_pad), lambda j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((_TILE, k), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+        out_specs=pl.BlockSpec((td, bq_pad), lambda j: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bd_pad, bq_pad), jnp.float32),
         interpret=interpret,
-    )(
-        q_norm,
-        d_norm,
-        q_mask,
-        d_mask,
-        mu.reshape(1, -1).astype(jnp.float32),
-        sigma.reshape(1, -1).astype(jnp.float32),
-        alpha.reshape(1, -1).astype(jnp.float32),
-    )
-    return out[:b]
+    )(q_vecs, q_mask, d_vecs, d_mask)
+    return out_t.T[:bq, :bd]

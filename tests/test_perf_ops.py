@@ -74,44 +74,21 @@ def test_flat_index_quantized(rng, eight_devices):
         assert len({f"d{i}" for i in ref_idx[qi]} & set(got[qi])) >= 4
 
 
-def test_pallas_maxsim_matches_jnp(rng):
+def test_pallas_maxsim_v2_matches_jnp(rng):
+    """Round-2 blocked kernel (one MXU matmul per doc tile + static segmented
+    max) vs the production jnp path — bit-level agreement on padded shapes."""
     from matchmaker_tpu.ops.maxsim import maxsim_all_pairs
-    from matchmaker_tpu.ops.pallas_kernels import maxsim_all_pairs_pallas
+    from matchmaker_tpu.ops.pallas_kernels import maxsim_all_pairs_pallas_v2
 
-    q = rng.normal(size=(3, 8, 16)).astype(np.float32)
-    d = rng.normal(size=(5, 12, 16)).astype(np.float32)
-    qm = (rng.random((3, 8)) > 0.2).astype(np.float32)
-    dm = (rng.random((5, 12)) > 0.2).astype(np.float32)
+    q = rng.normal(size=(12, 8, 16)).astype(np.float32)
+    d = rng.normal(size=(21, 12, 16)).astype(np.float32)  # odd Bd → td padding
+    qm = (rng.random((12, 8)) > 0.2).astype(np.float32)
+    dm = (rng.random((21, 12)) > 0.2).astype(np.float32)
     ref = maxsim_all_pairs(jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), jnp.asarray(dm))
-    got = maxsim_all_pairs_pallas(jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), jnp.asarray(dm))
+    got = maxsim_all_pairs_pallas_v2(
+        jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), jnp.asarray(dm), td=8
+    )
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-4)
-
-
-def test_pallas_kernel_pooling_matches_jnp(rng):
-    from matchmaker_tpu.ops.kernel_pooling import (
-        cosine_match_matrix,
-        gaussian_kernel_mus,
-        gaussian_kernel_sigmas,
-        kernel_pooling_features,
-    )
-    from matchmaker_tpu.ops.pallas_kernels import kernel_pooling_pallas
-
-    def l2(x):
-        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-
-    qn = l2(rng.normal(size=(3, 8, 16))).astype(np.float32)
-    dn = l2(rng.normal(size=(3, 12, 16))).astype(np.float32)
-    qm = (rng.random((3, 8)) > 0.2).astype(np.float32)
-    dm = (rng.random((3, 12)) > 0.2).astype(np.float32)
-    mu = jnp.asarray(gaussian_kernel_mus(7))
-    sig = jnp.asarray(gaussian_kernel_sigmas(7))
-
-    match = cosine_match_matrix(jnp.asarray(qn), jnp.asarray(dn))
-    ref = kernel_pooling_features(match, jnp.asarray(qm), jnp.asarray(dm), mu, sig, log_scale=0.01)
-    got = kernel_pooling_pallas(
-        jnp.asarray(qn), jnp.asarray(dn), jnp.asarray(qm), jnp.asarray(dm), mu, sig, log_scale=0.01
-    )
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-5)
 
 
 def test_global_scale_quantized_topk(rng, eight_devices):
