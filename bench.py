@@ -71,36 +71,54 @@ def bench_encode(jax, batch_size=1024, seq_len=128, n_iters=10):
 
 
 def bench_search(jax, n_corpus=1_048_576, dim=768, q_batch=256, k=1000, n_iters=10):
+    """Returns (max-speed approx QPS, recall-parity two-stage QPS) over 1M."""
     import jax.numpy as jnp
 
     from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
+    from matchmaker_tpu.ops.mips_twostage import twostage_exact_topk
 
     log("building 1M int8 corpus on device")
     values = jax.jit(
         lambda key: jax.random.randint(key, (n_corpus, dim), -127, 127, dtype=jnp.int8)
     )(jax.random.PRNGKey(0))
     scales = jnp.float32(0.01)  # global-scale mode: scale-free top-k
+    rescore = jax.jit(lambda v: (v.astype(jnp.float16) * scales))(values)
     queries = jax.random.normal(jax.random.PRNGKey(1), (q_batch, dim), dtype=jnp.float32)
 
+    def timed(step):
+        t0 = time.perf_counter()
+        seed = step(queries, jnp.float32(0.0))
+        _ = float(np.asarray(seed))
+        log(f"compiled+warm in {time.perf_counter() - t0:.1f}s")
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            seed = step(queries, seed)
+        _ = float(np.asarray(seed))
+        return q_batch * n_iters / (time.perf_counter() - start)
+
     @jax.jit
-    def search_step(q, values, scales, seed):
-        vals, idx = quantized_blocked_topk(
+    def approx_step(q, seed):
+        vals, _ = quantized_blocked_topk(
             q + seed * 1e-9, values, scales, k=k, block_size=262144, approx=True
         )
         return vals[:, 0].sum()
 
-    log("compiling search")
-    t0 = time.perf_counter()
-    seed = search_step(queries, values, scales, jnp.float32(0.0))
-    _ = float(np.asarray(seed))
-    log(f"search compiled+warm in {time.perf_counter() - t0:.1f}s")
+    @jax.jit
+    def twostage_step(q, seed):
+        # recall-parity config: approx int8 candidates + exact f16 rescore
+        vals, _ = twostage_exact_topk(
+            q + seed * 1e-9, values, scales, k=k, oversample=4,
+            block_size=262144, rescore_corpus=rescore,
+        )
+        return vals[:, 0].sum()
 
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        seed = search_step(queries, values, scales, seed)
-    _ = float(np.asarray(seed))
-    elapsed = time.perf_counter() - start
-    return q_batch * n_iters / elapsed
+    log("compiling approx search")
+    qps_approx = timed(approx_step)
+    log(f"approx search qps: {qps_approx:.1f}")
+    log("compiling two-stage recall-parity search")
+    qps_parity = timed(twostage_step)
+    log(f"two-stage recall-parity qps: {qps_parity:.1f}")
+    return qps_approx, qps_parity
 
 
 def main() -> None:
@@ -110,11 +128,10 @@ def main() -> None:
     psg_per_s = bench_encode(jax)
     log(f"encode throughput: {psg_per_s:.1f} psg/s")
     try:
-        qps = bench_search(jax)
-        log(f"search qps: {qps:.1f}")
+        qps, qps_parity = bench_search(jax)
     except Exception as e:
         log(f"search bench failed: {e}")
-        qps = float("nan")
+        qps = qps_parity = float("nan")
 
     baseline = 6900.0  # reference best encoding psg/s (A40, ONNX fp16)
     print(
@@ -124,7 +141,10 @@ def main() -> None:
                 "value": round(psg_per_s, 1),
                 "unit": "passages/s",
                 "vs_baseline": round(psg_per_s / baseline, 3),
-                "extra": {"exhaustive_search_qps_1M_corpus": round(qps, 1)},
+                "extra": {
+                    "exhaustive_search_qps_1M_corpus": round(qps, 1),
+                    "recall_parity_twostage_qps_1M_corpus": round(qps_parity, 1),
+                },
             }
         )
     )

@@ -82,6 +82,11 @@ class FlatIndex(BaseNNIndexer):
         self.global_scale = config.get("mips_quantization", "none") == "int8-global"
         self.approx = config.get("mips_approx_topk", False)
         self.recall_target = config.get("mips_approx_recall_target", 0.95)
+        # two-stage exact-rescored search (ops/mips_twostage.py): approx int8
+        # candidate scan + exact rescore; restores recall parity at approx speed
+        self.twostage = config.get("mips_twostage", False)
+        self.oversample = config.get("mips_oversample", 4)
+        self.rescore_dtype = config.get("mips_rescore_dtype", "int8")  # int8|float16
         self._vectors: Optional[np.ndarray] = None
         self._ids: Optional[np.ndarray] = None
         self._device_vectors = None
@@ -120,12 +125,28 @@ class FlatIndex(BaseNNIndexer):
                 dv = jax.device_put(dv, NamedSharding(self.mesh, P("data", None)))
                 if ds.ndim > 0:
                     ds = jax.device_put(ds, NamedSharding(self.mesh, P("data")))
-            self._device_vectors = (dv, ds)
+            rescore = None
+            if self.twostage and self.rescore_dtype == "float16":
+                rescore = jnp.asarray(vectors, dtype=jnp.float16)
+                if self.mesh is not None and n_shards > 1:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    rescore = jax.device_put(rescore, NamedSharding(self.mesh, P("data", None)))
+            self._device_vectors = (dv, ds, rescore)
             approx, recall = self.approx, self.recall_target
+            twostage, oversample = self.twostage, self.oversample
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def search_fn(queries, corpus, k):
-                values, scales = corpus
+                values, scales, rescore_corpus = corpus
+                if twostage:
+                    from matchmaker_tpu.ops.mips_twostage import sharded_twostage_topk
+
+                    return sharded_twostage_topk(
+                        queries, values, scales, k, mesh=mesh, block_size=block,
+                        oversample=oversample, recall_target=recall,
+                        rescore_corpus=rescore_corpus,
+                    )
                 return sharded_quantized_topk(
                     queries, values, scales, k, mesh=mesh, block_size=block,
                     approx=approx, recall_target=recall,

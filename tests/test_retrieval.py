@@ -305,3 +305,33 @@ def test_build_index_hnsw_kind():
 
     idx = build_index({"faiss_index_type": "hnsw", "token_dtype": "float32"})
     assert type(idx).__name__ in ("HNSWIndex", "IVFIndex")
+
+
+def test_flat_index_twostage_recall_parity(rng, eight_devices):
+    """Two-stage search (int8 approx candidates + f16 exact rescore) through
+    FlatIndex on the 8-device mesh: full agreement with exact search."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    n, d, k = 4096, 32, 20
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    ids = np.arange(n)
+    queries = vectors[rng.integers(0, n, 16)].astype(np.float32)
+
+    exact = FlatIndex({"token_dtype": "float32"}, make_mesh())
+    exact.prepare(d)
+    exact.index(ids, vectors)
+    _, exact_ids = exact.search(queries, k)
+
+    two = FlatIndex({
+        "token_dtype": "float32", "mips_quantization": "int8-global",
+        "mips_twostage": True, "mips_rescore_dtype": "float16",
+        "mips_oversample": 4, "mips_block_size": 1024,
+    }, make_mesh())
+    two.prepare(d)
+    two.index(ids, vectors)
+    _, two_ids = two.search(queries, k)
+    rec = np.mean([
+        len(set(map(int, two_ids[i])) & set(map(int, exact_ids[i]))) / k for i in range(16)
+    ])
+    assert rec >= 0.99, rec
