@@ -281,6 +281,130 @@ def cmd_msmarco_qa_qrels(args) -> int:
     return 0
 
 
+def cmd_validation_from_qrels(args) -> int:
+    """Eval tuples for every judged (query, doc) pair
+    (reference generate_validation_input_from_qrels.py)."""
+    qrels = load_qrels(args.qrels)
+    queries = _read_tsv(args.queries)
+    collection = _read_tsv(args.collection)
+    n = 0
+    with open(args.out, "w", encoding="utf-8") as out:
+        for qid, docs in qrels.items():
+            if qid not in queries:
+                continue
+            for did in docs:
+                if did in collection:
+                    out.write(f"{qid}\t{did}\t{queries[qid]}\t{collection[did]}\n")
+                    n += 1
+    print(f"wrote {n} tuples -> {args.out}")
+    return 0
+
+
+def cmd_triples_from_ids(args) -> int:
+    """Id triples (`qid pid+ pid-`) → text triples
+    (reference convert_formats/create_train_from_ids.py)."""
+    queries = _read_tsv(args.queries)
+    collection = _read_tsv(args.collection)
+    n = skipped = 0
+    with open(args.triples, "r", encoding="utf-8") as f, open(args.out, "w", encoding="utf-8") as out:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3:
+                continue
+            qid, pos, neg = parts[0], parts[1], parts[2]
+            if qid in queries and pos in collection and neg in collection:
+                out.write(f"{queries[qid]}\t{collection[pos]}\t{collection[neg]}\n")
+                n += 1
+            else:
+                skipped += 1
+    print(f"wrote {n} text triples ({skipped} unmatched) -> {args.out}")
+    return 0
+
+
+def cmd_find_missing_queries(args) -> int:
+    """Queries absent from a train-triples id file
+    (reference find_missing_queries.py)."""
+    train_qids = set()
+    with open(args.train_ids, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if parts:
+                train_qids.add(parts[0])
+    n = 0
+    with open(args.queries, "r", encoding="utf-8") as f, open(args.out, "w", encoding="utf-8") as out:
+        for line in f:
+            qid = line.split("\t", 1)[0]
+            if qid not in train_qids:
+                out.write(line)
+                n += 1
+    print(f"wrote {n} missing queries -> {args.out}")
+    return 0
+
+
+def cmd_fix_unicode(args) -> int:
+    """Mojibake/control-char cleanup per tsv field (reference
+    fix_unicode_text.py uses ftfy; here: NFC normalization + control strip,
+    with ftfy applied when available)."""
+    import unicodedata
+
+    try:
+        import ftfy  # optional, not in the base image
+
+        fix = ftfy.fix_text
+    except ImportError:
+        def fix(s):
+            return unicodedata.normalize("NFC", s)
+    n = 0
+    with open(args.inp, "r", encoding="utf-8", errors="replace") as f, \
+         open(args.out, "w", encoding="utf-8") as out:
+        for line in f:
+            fields = [
+                "".join(ch for ch in fix(p) if ch == "\t" or not unicodedata.category(ch).startswith("C"))
+                .replace("\t", " ").rstrip()
+                for p in line.rstrip("\n").split("\t")
+            ]
+            out.write("\t".join(fields) + "\n")
+            n += 1
+    print(f"cleaned {n} lines -> {args.out}")
+    return 0
+
+
+def cmd_doc_to_mlm_passages(args) -> int:
+    """Long documents → passage-sized blocks for MLM pre-training
+    (reference msmarco_doc_to_mlm_passages.py: sentence-greedy packing into
+    [min_words, max_words] blocks, capped per doc)."""
+    import re as _re
+
+    sent_split = _re.compile(r"(?<=[.!?])\s+")
+    n_docs = n_blocks = 0
+    with open(args.inp, "r", encoding="utf-8") as f, open(args.out, "w", encoding="utf-8") as out:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            n_docs += 1
+            doc_id, text = parts[0], parts[1][:200_000]
+            blocks, cur, cur_words = [], [], 0
+            for sent in sent_split.split(text):
+                words = sent.split()
+                if cur_words + len(words) < args.max_words:
+                    cur.extend(words)
+                    cur_words += len(words)
+                else:
+                    if cur_words >= args.min_words:
+                        blocks.append(" ".join(cur))
+                    cur, cur_words = list(words), len(words)
+                if len(blocks) >= args.max_blocks:
+                    break
+            if cur_words >= args.min_words and len(blocks) < args.max_blocks:
+                blocks.append(" ".join(cur))
+            for bi, block in enumerate(blocks):
+                out.write(f"{doc_id}_{bi}\t{block}\n")
+                n_blocks += 1
+    print(f"split {n_docs} docs into {n_blocks} passages -> {args.out}")
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(prog="matchmaker_tpu.preprocessing")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -359,6 +483,39 @@ def main() -> int:
     p.add_argument("--inp", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_msmarco_qa_qrels)
+
+    p = sub.add_parser("validation-from-qrels")
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--collection", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_validation_from_qrels)
+
+    p = sub.add_parser("triples-from-ids")
+    p.add_argument("--triples", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--collection", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_triples_from_ids)
+
+    p = sub.add_parser("find-missing-queries")
+    p.add_argument("--queries", required=True)
+    p.add_argument("--train-ids", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_find_missing_queries)
+
+    p = sub.add_parser("fix-unicode")
+    p.add_argument("--inp", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_fix_unicode)
+
+    p = sub.add_parser("doc-to-mlm-passages")
+    p.add_argument("--inp", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-words", type=int, default=130)
+    p.add_argument("--min-words", type=int, default=80)
+    p.add_argument("--max-blocks", type=int, default=60)
+    p.set_defaults(fn=cmd_doc_to_mlm_passages)
 
     args = parser.parse_args()
     return args.fn(args)

@@ -218,3 +218,61 @@ def test_preprocessing_msmarco_qa_qrels(tmp_path):
     r = _run_prep(["msmarco-qa-qrels", "--inp", str(inp), "--out", str(out)])
     assert r.returncode == 0, r.stderr
     assert out.read_text() == "7 0 1 1\n8 0 p9 1\n"
+
+
+def test_preprocessing_validation_from_qrels_and_triples_from_ids(prep_files):
+    out = prep_files / "qrel_val.tsv"
+    r = _run_prep([
+        "validation-from-qrels", "--qrels", str(prep_files / "qrels.txt"),
+        "--queries", str(prep_files / "queries.tsv"),
+        "--collection", str(prep_files / "collection.tsv"), "--out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr
+    pairs = {tuple(l.split("\t")[:2]) for l in out.read_text().strip().split("\n")}
+    assert pairs == {("q1", "d1"), ("q2", "d4")}
+
+    (prep_files / "id_triples.tsv").write_text("q1\td1\td3\nq9\td1\td2\n")
+    out2 = prep_files / "text_triples.tsv"
+    r = _run_prep([
+        "triples-from-ids", "--triples", str(prep_files / "id_triples.tsv"),
+        "--queries", str(prep_files / "queries.tsv"),
+        "--collection", str(prep_files / "collection.tsv"), "--out", str(out2),
+    ])
+    assert r.returncode == 0, r.stderr
+    lines = out2.read_text().strip().split("\n")
+    assert lines == ["alpha beta\talpha beta alpha\tnoise words here"]  # q9 unmatched
+
+
+def test_preprocessing_find_missing_and_fix_unicode(prep_files, tmp_path):
+    (prep_files / "train_ids.tsv").write_text("q1\td1\td3\n")
+    out = prep_files / "missing.tsv"
+    r = _run_prep([
+        "find-missing-queries", "--queries", str(prep_files / "queries.tsv"),
+        "--train-ids", str(prep_files / "train_ids.tsv"), "--out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == "q2\tgamma delta\n"
+
+    dirty = tmp_path / "dirty.tsv"
+    dirty.write_bytes("d1\ttext with\x00controĺ chars\n".encode("utf-8"))
+    clean = tmp_path / "clean.tsv"
+    r = _run_prep(["fix-unicode", "--inp", str(dirty), "--out", str(clean)])
+    assert r.returncode == 0, r.stderr
+    assert "\x00" not in clean.read_text()
+    assert clean.read_text().startswith("d1\ttext with")
+
+
+def test_preprocessing_doc_to_mlm_passages(tmp_path):
+    doc = " ".join(f"word{i}" for i in range(100)) + ". " + " ".join(f"tok{i}" for i in range(100)) + "."
+    inp = tmp_path / "docs.tsv"
+    inp.write_text(f"D1\t{doc}\n")
+    out = tmp_path / "passages.tsv"
+    r = _run_prep([
+        "doc-to-mlm-passages", "--inp", str(inp), "--out", str(out),
+        "--max-words", "120", "--min-words", "50",
+    ])
+    assert r.returncode == 0, r.stderr
+    lines = [l.split("\t") for l in out.read_text().strip().split("\n")]
+    assert len(lines) >= 2
+    assert lines[0][0] == "D1_0"
+    assert all(50 <= len(l[1].split()) <= 120 for l in lines)
