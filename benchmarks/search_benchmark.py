@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -61,23 +62,32 @@ def make_generators(dim: int, block: int):
 
 
 def build_corpus(rows: int, dim: int, block: int, keep_f16: bool):
-    """int8 corpus (+global scale) and optionally an f16 copy, on device."""
+    """int8 corpus (+global scale) and optionally an f16 copy, on device.
+
+    Blocks are written into preallocated donated buffers so peak memory is
+    buffer + one f32 block (a concatenate would double the corpus)."""
     gen = make_generators(dim, block)
     n_blocks = -(-rows // block)
-    int8_blocks, f16_blocks = [], []
+    padded = n_blocks * block
     scale = jnp.float32(1.0 / 127.0)  # normalized rows → |x| <= 1
 
-    @jax.jit
-    def quant(b):
-        return jnp.clip(jnp.round(b / scale), -127, 127).astype(jnp.int8)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill_int8(buf, b, i):
+        q = jnp.clip(jnp.round(b / scale), -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, q, (i * block, 0))
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill_f16(buf, b, i):
+        return jax.lax.dynamic_update_slice(buf, b.astype(jnp.float16), (i * block, 0))
+
+    values = jnp.zeros((padded, dim), jnp.int8)
+    rescore = jnp.zeros((padded, dim), jnp.float16) if keep_f16 else None
     for i in range(n_blocks):
         b = gen(i)
-        int8_blocks.append(quant(b))
+        values = fill_int8(values, b, i)
         if keep_f16:
-            f16_blocks.append(b.astype(jnp.float16))
-    values = jnp.concatenate(int8_blocks)[:rows]
-    rescore = jnp.concatenate(f16_blocks)[:rows] if keep_f16 else None
+            rescore = fill_f16(rescore, b, i)
+    # padded tail rows stay zero → scores 0, never in any top-k of interest
     jax.block_until_ready(values)
     return values, scale, rescore, gen
 
@@ -114,21 +124,24 @@ def exact_ground_truth(gen, queries, rows: int, block: int, k: int):
 
 
 def timed_qps(fn, queries, iters: int, reps: int = 3):
-    """Chained-dependency timing: returns best QPS."""
+    """Seed-chained timing (bench.py protocol): each dispatch's input depends
+    on the previous output scalar; one final fetch bounds the chain. Keeps the
+    compiled graph small (one search) — a scan-of-searches chain exceeds the
+    remote-compile service's limits."""
 
     @jax.jit
-    def chain(q0):
-        def body(carry, _):
-            vals, _ = fn(carry)
-            return q0 + vals[0, 0] * 1e-12, vals[0, 0]
-        _, outs = jax.lax.scan(body, q0, None, length=iters)
-        return outs.sum()
+    def step(q, seed):
+        vals, _ = fn(q + seed * 1e-12)
+        return vals[:, 0].sum()
 
-    s = float(chain(queries))  # compile + warm
+    seed = step(queries, jnp.float32(0.0))  # compile + warm
+    _ = float(seed)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        s = float(chain(queries))
+        for _ in range(iters):
+            seed = step(queries, seed)
+        s = float(seed)
         t1 = time.perf_counter()
         best = min(best, (t1 - t0) / iters)
     return queries.shape[0] / best, s
@@ -171,7 +184,7 @@ def main():
 
     def run(name, fn):
         qps, _ = timed_qps(fn, queries, args.iters)
-        _, ids = fn(queries)
+        _, ids = jax.jit(fn)(queries)
         ids = np.asarray(ids)
         entry = {"qps": round(qps, 1)}
         if true_ids is not None:

@@ -25,13 +25,22 @@ import numpy as np
 
 def load_teacher(teacher_path: str, overrides: Optional[dict] = None):
     """Build (model, params, config) from a run folder (config.yaml +
-    best-model.flax) or a bare checkpoint file next to a config."""
-    from matchmaker_tpu.config import get_config_single
+    best-model.flax) or an HF-hub model name resolved through the local config
+    stubs (reference dynamic_teacher.py:170-183 hub loading; weights come from
+    the local HF cache via init_params' warmstart)."""
+    from matchmaker_tpu.config import get_config_single, resolve_hub_config
     from matchmaker_tpu.data.tokenization import build_tokenizer
     from matchmaker_tpu.models import get_model, init_params
     from matchmaker_tpu.training.checkpoints import load_params
 
-    config = get_config_single(os.path.join(teacher_path, "config.yaml"))
+    if os.path.isdir(teacher_path):
+        config = get_config_single(os.path.join(teacher_path, "config.yaml"))
+    elif resolve_hub_config(teacher_path):
+        config = get_config_single(teacher_path)  # hub stub; ckpt via HF cache
+    else:
+        raise FileNotFoundError(
+            f"teacher {teacher_path} is neither a run folder nor a known hub config"
+        )
     if overrides:
         config.update(overrides)
     tokenizer = build_tokenizer(config)

@@ -218,3 +218,21 @@ def test_dynamic_teacher_per_term_scores(tmp_path, eight_devices):
     _, _, stats = step(params, tx.init(params), wrapped)
     assert "per_term_loss" in stats
     assert np.isfinite(float(np.asarray(stats["per_term_loss"])))
+
+
+def test_load_teacher_from_hub_config_stub(eight_devices):
+    """Hub model names resolve through configs/huggingface_modelhub stubs
+    (reference dynamic_teacher.py:170-183); weights warmstart only when the
+    HF cache has them (random init offline)."""
+    import pytest
+
+    from matchmaker_tpu.distillation.dynamic_teacher import load_teacher
+
+    model, params, config, tokenizer = load_teacher(
+        "sebastian-hofstaetter/distilbert-dot-tas_b-b256-msmarco"
+    )
+    assert config["model"] == "bert_dot"
+    assert "encoder" in params
+
+    with pytest.raises(FileNotFoundError):
+        load_teacher("unknown-org/unknown-model")
