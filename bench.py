@@ -74,50 +74,50 @@ def bench_search(jax, n_corpus=1_048_576, dim=768, q_batch=256, k=1000, n_iters=
     """Returns (max-speed approx QPS, recall-parity two-stage QPS) over 1M."""
     import jax.numpy as jnp
 
+    from matchmaker_tpu.ops.mips_f16 import f16_scan_topk
     from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
-    from matchmaker_tpu.ops.mips_twostage import twostage_exact_topk
 
-    log("building 1M int8 corpus on device")
+    log("building 1M int8 + f16 corpora on device")
     values = jax.jit(
         lambda key: jax.random.randint(key, (n_corpus, dim), -127, 127, dtype=jnp.int8)
     )(jax.random.PRNGKey(0))
     scales = jnp.float32(0.01)  # global-scale mode: scale-free top-k
-    rescore = jax.jit(lambda v: (v.astype(jnp.float16) * scales))(values)
+    f16_corpus = jax.jit(lambda v: (v.astype(jnp.float16) * scales))(values)
     queries = jax.random.normal(jax.random.PRNGKey(1), (q_batch, dim), dtype=jnp.float32)
 
-    def timed(step):
+    def timed(step, *corpus):
         t0 = time.perf_counter()
-        seed = step(queries, jnp.float32(0.0))
+        seed = step(queries, jnp.float32(0.0), *corpus)
         _ = float(np.asarray(seed))
         log(f"compiled+warm in {time.perf_counter() - t0:.1f}s")
         start = time.perf_counter()
         for _ in range(n_iters):
-            seed = step(queries, seed)
+            seed = step(queries, seed, *corpus)
         _ = float(np.asarray(seed))
         return q_batch * n_iters / (time.perf_counter() - start)
 
+    # corpora flow through as jit ARGUMENTS: a closure would embed gigabytes
+    # as jaxpr constants and break the remote-compile tunnel
     @jax.jit
-    def approx_step(q, seed):
+    def approx_step(q, seed, values, scales):
         vals, _ = quantized_blocked_topk(
             q + seed * 1e-9, values, scales, k=k, block_size=262144, approx=True
         )
         return vals[:, 0].sum()
 
     @jax.jit
-    def twostage_step(q, seed):
-        # recall-parity config: approx int8 candidates + exact f16 rescore
-        vals, _ = twostage_exact_topk(
-            q + seed * 1e-9, values, scales, k=k, oversample=4,
-            block_size=262144, rescore_corpus=rescore,
-        )
+    def parity_step(q, seed, corpus):
+        # recall-parity config: full-width bf16 scan over the f16 corpus —
+        # parity vs the reference's fp16 IndexFlatIP ranking (ops/mips_f16.py)
+        vals, _ = f16_scan_topk(q + seed * 1e-9, corpus, k=k, block_size=None)
         return vals[:, 0].sum()
 
-    log("compiling approx search")
-    qps_approx = timed(approx_step)
-    log(f"approx search qps: {qps_approx:.1f}")
-    log("compiling two-stage recall-parity search")
-    qps_parity = timed(twostage_step)
-    log(f"two-stage recall-parity qps: {qps_parity:.1f}")
+    log("compiling approx int8 search")
+    qps_approx = timed(approx_step, values, scales)
+    log(f"approx int8 search qps: {qps_approx:.1f}")
+    log("compiling f16-scan recall-parity search")
+    qps_parity = timed(parity_step, f16_corpus)
+    log(f"f16-scan recall-parity qps: {qps_parity:.1f}")
     return qps_approx, qps_parity
 
 

@@ -3,23 +3,33 @@
 Measures the BASELINE.md north-star configurations over a synthetic clustered
 normalized corpus (the shape of real dense-retrieval embeddings):
 
-  exact      f32 corpus, exact top-k             — the ground-truth ranking
-  approx     int8-global + approx_max_k          — max-speed scan (recall<1)
-  twostage   int8 approx candidates + exact rescore (int8 or f16)
-             — the recall-parity configuration (ops/mips_twostage.py)
+  f32-exact     ground truth (regenerated block-wise, never stored)
+  f16-exact     exact ranking over the fp16 corpus — THE parity target
+                (the reference's default index is faiss IndexFlatIP over fp16)
+  approx_int8   int8-global + approx_max_k — max-speed scan
+  f16scan       bf16 scan over the f16 corpus + approx_max_k — the
+                recall-parity production config (ops/mips_f16.py)
+  twostage_*    int8 approx candidates + exact rescore (ops/mips_twostage.py)
 
-The corpus is generated on device block-by-block from a fixed PRNG (never
-materialized in f32), so 8.9M x 768 fits: int8 copy 6.8 GB; the f16 rescore
-copy (13.7 GB) only fits for per-chip shard sizes (<=2M rows), which is the
-v5e-8 configuration (8.9M / 8 chips = 1.11M rows/chip).
+Measured v5e results (clustered 768-dim corpus, k=1000):
+  1.113M rows (one v5e-8 shard of MS MARCO): f16scan_full 42.2k QPS @
+    recall@1000 0.987 vs f16-exact (Q=256); f16scan blk=393216 27.3k QPS
+    @ 0.9935; approx_int8 12.9k QPS @ 0.884-vs-f32.
+  8.9M rows single chip (13.7 GB f16 in HBM): f16scan 3,983 QPS @
+    recall@1000 0.9981 / recall@10 0.9984 vs f16-exact (Q=256).
+  The f16-exact ranking overlaps f32-exact at 0.9447@1000 on this corpus —
+    the fp16 storage rounding faiss's own fp16 index carries.
 
-Timing uses the chained-dependency protocol (iteration i+1 consumes a scalar
-of iteration i; one device fetch bounds the whole chain) because the axon
-tunnel's block_until_ready is asynchronous.
+The corpus is generated on device block-by-block from a fixed PRNG; at 8.9M
+only one copy fits (int8 6.8 GB or f16 13.7 GB), so pick configs accordingly.
+Timing uses the seed-chained protocol (iteration i+1 consumes a scalar of
+iteration i) because the tunnel's block_until_ready is asynchronous, and the
+corpora flow through jit arguments (a closure would serialize GBs of
+constants into the remote-compile payload).
 
 Usage:
-  python benchmarks/search_benchmark.py --rows 1113000 --dim 768 --rescore float16
-  python benchmarks/search_benchmark.py --rows 8900000 --dim 768 --rescore int8
+  python benchmarks/search_benchmark.py --rows 1113000 --configs approx_int8,f16scan,f16scan_full
+  python benchmarks/search_benchmark.py --rows 8900000 --configs f16scan --queries 256
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from matchmaker_tpu.ops.mips_f16 import f16_scan_topk
 from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
 from matchmaker_tpu.ops.mips_twostage import twostage_exact_topk
 
@@ -61,11 +72,12 @@ def make_generators(dim: int, block: int):
     return gen_block_f32
 
 
-def build_corpus(rows: int, dim: int, block: int, keep_f16: bool):
-    """int8 corpus (+global scale) and optionally an f16 copy, on device.
+def build_corpus(rows: int, dim: int, block: int, keep_f16: bool, keep_int8: bool = True):
+    """int8 corpus (+global scale) and/or an f16 copy, on device.
 
     Blocks are written into preallocated donated buffers so peak memory is
-    buffer + one f32 block (a concatenate would double the corpus)."""
+    buffer + one f32 block (a concatenate would double the corpus). At MS
+    MARCO scale both copies don't fit a 16 GB chip — pick one."""
     gen = make_generators(dim, block)
     n_blocks = -(-rows // block)
     padded = n_blocks * block
@@ -80,15 +92,16 @@ def build_corpus(rows: int, dim: int, block: int, keep_f16: bool):
     def fill_f16(buf, b, i):
         return jax.lax.dynamic_update_slice(buf, b.astype(jnp.float16), (i * block, 0))
 
-    values = jnp.zeros((padded, dim), jnp.int8)
+    values = jnp.zeros((padded, dim), jnp.int8) if keep_int8 else None
     rescore = jnp.zeros((padded, dim), jnp.float16) if keep_f16 else None
     for i in range(n_blocks):
         b = gen(i)
-        values = fill_int8(values, b, i)
+        if keep_int8:
+            values = fill_int8(values, b, i)
         if keep_f16:
             rescore = fill_f16(rescore, b, i)
     # padded tail rows stay zero → scores 0, never in any top-k of interest
-    jax.block_until_ready(values)
+    jax.block_until_ready(values if keep_int8 else rescore)
     return values, scale, rescore, gen
 
 
@@ -123,24 +136,26 @@ def exact_ground_truth(gen, queries, rows: int, block: int, k: int):
     return np.take_along_axis(idxs, order, axis=1)
 
 
-def timed_qps(fn, queries, iters: int, reps: int = 3):
+def timed_qps(fn, queries, corpus_args, iters: int, reps: int = 3):
     """Seed-chained timing (bench.py protocol): each dispatch's input depends
-    on the previous output scalar; one final fetch bounds the chain. Keeps the
-    compiled graph small (one search) — a scan-of-searches chain exceeds the
-    remote-compile service's limits."""
+    on the previous output scalar; one final fetch bounds the chain.
+
+    The corpus arrays MUST flow through as jit arguments — a closure would
+    embed gigabytes as jaxpr constants and the remote-compile payload breaks
+    the tunnel ("Broken pipe")."""
 
     @jax.jit
-    def step(q, seed):
-        vals, _ = fn(q + seed * 1e-12)
+    def step(q, seed, *corpus):
+        vals, _ = fn(q + seed * 1e-12, *corpus)
         return vals[:, 0].sum()
 
-    seed = step(queries, jnp.float32(0.0))  # compile + warm
+    seed = step(queries, jnp.float32(0.0), *corpus_args)  # compile + warm
     _ = float(seed)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
-            seed = step(queries, seed)
+            seed = step(queries, seed, *corpus_args)
         s = float(seed)
         t1 = time.perf_counter()
         best = min(best, (t1 - t0) / iters)
@@ -161,47 +176,88 @@ def main():
     ap.add_argument("--queries", type=int, default=128)
     ap.add_argument("--block", type=int, default=131072)
     ap.add_argument("--oversample", type=int, default=4)
-    ap.add_argument("--rescore", choices=["int8", "float16", "none"], default="float16")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument(
+        "--configs", default="approx_int8,f16scan",
+        help="comma list of: approx_int8, f16scan, f16scan_full, twostage_int8, twostage_f16",
+    )
+    ap.add_argument("--scan-block", type=int, default=557056)
     args = ap.parse_args()
+    configs = set(args.configs.split(","))
 
     print(f"[search-bench] device={jax.devices()[0]} rows={args.rows} dim={args.dim} k={args.k}")
-    keep_f16 = args.rescore == "float16"
+    keep_f16 = bool(configs & {"f16scan", "f16scan_full", "twostage_f16"})
+    keep_int8 = bool(configs & {"approx_int8", "twostage_int8", "twostage_f16"})
     t0 = time.time()
-    values, scale, rescore, gen = build_corpus(args.rows, args.dim, args.block, keep_f16)
+    values, scale, rescore, gen = build_corpus(
+        args.rows, args.dim, args.block, keep_f16, keep_int8
+    )
     queries = make_queries(gen, args.queries, args.dim)
-    print(f"[search-bench] corpus built in {time.time()-t0:.0f}s "
-          f"(int8 {values.nbytes/1e9:.1f} GB{', f16 %.1f GB' % (rescore.nbytes/1e9) if rescore is not None else ''})")
+    mem = (f"int8 {values.nbytes/1e9:.1f} GB" if values is not None else "") + (
+        f" f16 {rescore.nbytes/1e9:.1f} GB" if rescore is not None else "")
+    print(f"[search-bench] corpus built in {time.time()-t0:.0f}s ({mem})")
 
     results = {"rows": args.rows, "dim": args.dim, "k": args.k, "queries": args.queries}
 
-    true_ids = None
+    # ground truths: f32-exact (absolute) and f16-exact (the parity target —
+    # the reference's default index is faiss IndexFlatIP over fp16 vectors)
+    true_f32 = None
     if not args.skip_exact:
         t0 = time.time()
-        true_ids = exact_ground_truth(gen, queries, args.rows, args.block, args.k)
-        print(f"[search-bench] exact ground truth in {time.time()-t0:.0f}s")
+        true_f32 = exact_ground_truth(gen, queries, args.rows, args.block, args.k)
+        print(f"[search-bench] f32-exact ground truth in {time.time()-t0:.0f}s")
+    true_f16 = None
+    if rescore is not None:
+        t0 = time.time()
+        _, idx = jax.jit(lambda q, c: f16_scan_topk(
+            q, c, args.k, block_size=args.scan_block, approx=False))(queries, rescore)
+        true_f16 = np.asarray(idx)
+        print(f"[search-bench] f16-exact ground truth in {time.time()-t0:.0f}s")
+        if true_f32 is not None:
+            results["f16exact_vs_f32exact"] = {
+                "recall@10": round(recall_at(true_f16, true_f32, 10), 4),
+                f"recall@{args.k}": round(recall_at(true_f16, true_f32, args.k), 4),
+            }
+            print(f"[search-bench] faiss-fp16 parity line: {results['f16exact_vs_f32exact']}")
 
-    def run(name, fn):
-        qps, _ = timed_qps(fn, queries, args.iters)
-        _, ids = jax.jit(fn)(queries)
+    def run(name, fn, corpus_args):
+        qps, _ = timed_qps(fn, queries, corpus_args, args.iters)
+        _, ids = jax.jit(fn)(queries, *corpus_args)
         ids = np.asarray(ids)
         entry = {"qps": round(qps, 1)}
-        if true_ids is not None:
-            entry["recall@10"] = round(recall_at(ids, true_ids, 10), 4)
-            entry[f"recall@{args.k}"] = round(recall_at(ids, true_ids, args.k), 4)
+        for label, truth in (("f32", true_f32), ("f16exact", true_f16)):
+            if truth is not None:
+                entry[f"recall@10_vs_{label}"] = round(recall_at(ids, truth, 10), 4)
+                entry[f"recall@{args.k}_vs_{label}"] = round(recall_at(ids, truth, args.k), 4)
         results[name] = entry
         print(f"[search-bench] {name}: {entry}")
 
-    run("approx_int8", lambda q: quantized_blocked_topk(
-        q, values, scale, args.k, block_size=args.block, approx=True, recall_target=0.95))
-    run(f"twostage_{args.rescore}", lambda q: twostage_exact_topk(
-        q, values, scale, args.k, oversample=args.oversample, block_size=args.block,
-        recall_target=0.95, rescore_corpus=rescore))
+    if "approx_int8" in configs:
+        run("approx_int8", lambda q, v, s: quantized_blocked_topk(
+            q, v, s, args.k, block_size=args.block, approx=True, recall_target=0.95),
+            (values, scale))
+    if "f16scan" in configs:
+        run("f16scan", lambda q, c: f16_scan_topk(
+            q, c, args.k, block_size=args.scan_block), (rescore,))
+    if "f16scan_full" in configs:
+        run("f16scan_full", lambda q, c: f16_scan_topk(
+            q, c, args.k, block_size=None), (rescore,))
+    if "twostage_int8" in configs:
+        run("twostage_int8", lambda q, v, s: twostage_exact_topk(
+            q, v, s, args.k, oversample=args.oversample, block_size=args.block,
+            recall_target=0.95, rescore_corpus=None), (values, scale))
+    if "twostage_f16" in configs:
+        run("twostage_f16", lambda q, v, s, r: twostage_exact_topk(
+            q, v, s, args.k, oversample=args.oversample, block_size=args.block,
+            recall_target=0.95, rescore_corpus=r), (values, scale, rescore))
+
     # the v5e-8 merge cost: one exact top-k over (Q, 8k) partials
-    partials = jnp.tile(jnp.asarray(np.random.default_rng(0).normal(
-        size=(args.queries, args.k)).astype(np.float32)), (1, 8))
-    merge_qps, _ = timed_qps(lambda q: jax.lax.top_k(partials + q[:, :1] * 0, args.k), queries, args.iters)
+    partials = jnp.asarray(np.random.default_rng(0).normal(
+        size=(args.queries, args.k * 8)).astype(np.float32))
+    merge_qps, _ = timed_qps(
+        lambda q, p: jax.lax.top_k(p + q[:, :1] * 0, args.k), queries, (partials,), args.iters
+    )
     results["merge_8shard_qps"] = round(merge_qps, 1)
     print(f"[search-bench] 8-shard merge alone: {merge_qps:.0f} QPS equivalent")
 

@@ -80,6 +80,10 @@ class FlatIndex(BaseNNIndexer):
         # global scale → scale-free top-k, another ~1.5x (normalized corpora)
         self.quantized = config.get("mips_quantization", "none") in ("int8", "int8-global")
         self.global_scale = config.get("mips_quantization", "none") == "int8-global"
+        # fp16 scan: bf16 matmuls over the f16 corpus + approx top-k — the
+        # recall-parity production path (ops/mips_f16.py; the reference's
+        # fp16 IndexFlatIP ranking is the parity target)
+        self.f16_scan = config.get("mips_quantization", "none") == "float16"
         self.approx = config.get("mips_approx_topk", False)
         self.recall_target = config.get("mips_approx_recall_target", 0.95)
         # two-stage exact-rescored search (ops/mips_twostage.py): approx int8
@@ -149,6 +153,28 @@ class FlatIndex(BaseNNIndexer):
                     )
                 return sharded_quantized_topk(
                     queries, values, scales, k, mesh=mesh, block_size=block,
+                    approx=approx, recall_target=recall,
+                )
+
+            self._search_fn = search_fn
+            return
+
+        if self.f16_scan:
+            arr = jnp.asarray(vectors, dtype=jnp.float16)
+            if self.mesh is not None and n_shards > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None)))
+            self._device_vectors = arr
+            approx, recall = self.approx, self.recall_target
+            scan_block = self.block_size if vectors.shape[0] > self.block_size else None
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def search_fn(queries, corpus, k):
+                from matchmaker_tpu.ops.mips_f16 import sharded_f16_scan_topk
+
+                return sharded_f16_scan_topk(
+                    queries, corpus, k, mesh=mesh, block_size=scan_block,
                     approx=approx, recall_target=recall,
                 )
 

@@ -335,3 +335,30 @@ def test_flat_index_twostage_recall_parity(rng, eight_devices):
         len(set(map(int, two_ids[i])) & set(map(int, exact_ids[i]))) / k for i in range(16)
     ])
     assert rec >= 0.99, rec
+
+
+def test_flat_index_f16_scan_mode(rng, eight_devices):
+    """mips_quantization: float16 — the recall-parity scan path — matches the
+    f16-exact ranking on the 8-device mesh (approx on CPU is exact)."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    n, d, k = 4096, 32, 20
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    ids = np.arange(n)
+    queries = vectors[rng.integers(0, n, 16)].astype(np.float32)
+
+    # f16-exact ground truth (the parity target: faiss fp16 IndexFlatIP)
+    exact_f16 = np.argsort(-(queries @ vectors.astype(np.float16).astype(np.float32).T), axis=1)[:, :k]
+
+    index = FlatIndex({
+        "token_dtype": "float16", "mips_quantization": "float16",
+        "mips_approx_topk": True, "mips_block_size": 1024,
+    }, make_mesh())
+    index.prepare(d)
+    index.index(ids, vectors)
+    scores, out_ids = index.search(queries, k)
+    rec = np.mean([
+        len(set(map(int, out_ids[i])) & set(map(int, exact_f16[i]))) / k for i in range(16)
+    ])
+    assert rec >= 0.95, rec
