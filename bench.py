@@ -143,7 +143,7 @@ def main() -> None:
                 "vs_baseline": round(psg_per_s / baseline, 3),
                 "extra": {
                     "exhaustive_search_qps_1M_corpus": round(qps, 1),
-                    "recall_parity_twostage_qps_1M_corpus": round(qps_parity, 1),
+                    "recall_parity_f16scan_qps_1M_corpus": round(qps_parity, 1),
                 },
             }
         )
