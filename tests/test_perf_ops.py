@@ -125,3 +125,21 @@ def test_global_scale_quantized_topk(rng, eight_devices):
     _, ref8 = _numpy_topk(q, c8, 5)
     for qi in range(5):
         assert len(set(np.asarray(idx8)[qi]) & set(ref8[qi])) >= 4
+
+
+def test_sharded_f16_scan_matches_single_device(rng, eight_devices):
+    """sharded_f16_scan_topk: per-chip scan + ICI merge == single-device scan
+    (exact mode so CPU results are deterministic)."""
+    from matchmaker_tpu.ops.mips_f16 import f16_scan_topk, sharded_f16_scan_topk
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    n, d, k = 2048, 32, 20
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
+    queries = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+    mesh = make_mesh()
+
+    v1, i1 = jax.jit(lambda q, c: f16_scan_topk(q, c, k, block_size=256, approx=False))(queries, corpus)
+    v8, i8 = jax.jit(lambda q, c: sharded_f16_scan_topk(
+        q, c, k, mesh=mesh, block_size=128, approx=False))(queries, corpus)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v8), rtol=1e-3)
