@@ -11,12 +11,13 @@ normalized corpus (the shape of real dense-retrieval embeddings):
                 recall-parity production config (ops/mips_f16.py)
   twostage_*    int8 approx candidates + exact rescore (ops/mips_twostage.py)
 
-Measured v5e results (clustered 768-dim corpus, k=1000):
-  1.113M rows (one v5e-8 shard of MS MARCO): f16scan_full 42.2k QPS @
-    recall@1000 0.987 vs f16-exact (Q=256); f16scan blk=393216 27.3k QPS
-    @ 0.9935; approx_int8 12.9k QPS @ 0.884-vs-f32.
-  8.9M rows single chip (13.7 GB f16 in HBM): f16scan 3,983 QPS @
-    recall@1000 0.9981 / recall@10 0.9984 vs f16-exact (Q=256).
+Measured v5e results (clustered 768-dim corpus, k=1000, Q=256, after the
+un-aggregated approx_max_k + single-exact-merge optimization):
+  1.113M rows (one v5e-8 shard of MS MARCO): f16scan_full 45.1k QPS @
+    recall@1000 0.987 vs f16-exact; f16scan blk=557056 18.0k QPS @ 0.9934;
+    approx_int8 12.9k QPS @ 0.884-vs-f32.
+  8.9M rows single chip (13.7 GB f16 in HBM): f16scan 8,774 QPS @
+    recall@1000 0.9981 / recall@10 0.9984 vs f16-exact.
   The f16-exact ranking overlaps f32-exact at 0.9447@1000 on this corpus —
     the fp16 storage rounding faiss's own fp16 index carries.
 
