@@ -74,6 +74,8 @@ def run(mode: str, config, run_folder: str) -> int:
 
     # ---- phase 1: encode -------------------------------------------------
     if "encode" in mode:
+        from matchmaker_tpu.parallel.mesh import batch_sharding
+
         cfg_enc = dict(config)
         cfg_enc["batch_size_inference"] = config.get("collection_batch_size", 128)
         encode_corpus(
@@ -84,6 +86,8 @@ def run(mode: str, config, run_folder: str) -> int:
             config["collection_tsv"],
             encode_folder,
             sequence_type="doc",
+            # data-parallel encoding: batches shard over the mesh's data axis
+            sharding=batch_sharding(mesh),
         )
 
     # ---- phase 2: index --------------------------------------------------
