@@ -239,23 +239,33 @@ def test_ivf_csr_storage_is_flat_footprint_and_recalls(rng):
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(out_ids))
 
 
-def test_ivf_candidate_budget_overflow_drops_worst_probes(rng):
+def test_ivf_candidate_budget_overflow_drops_worst_probes():
     """When a query's probed clusters exceed the row budget, truncation removes
-    the lowest-ranked probes only — the best cluster always survives."""
-    n, d = 2000, 16
-    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    the lowest-ranked probes only — the best cluster always survives.
+    Uses planted balanced clusters so the best cluster fits the budget."""
+    local = np.random.default_rng(11)
+    n, d, n_centers = 2000, 16, 8
+    centers = local.normal(size=(n_centers, d)).astype(np.float32) * 6
+    assign = np.repeat(np.arange(n_centers), n // n_centers)
+    vectors = (centers[assign] + local.normal(size=(n, d))).astype(np.float32)
     ids = np.arange(n)
     index = IVFIndex({
-        "faiss_ivf_list_count": 8, "faiss_ivf_nprobe": 8,
-        "token_dtype": "float32", "ivf_candidate_rows": 256,  # << total rows
+        "faiss_ivf_list_count": n_centers, "faiss_ivf_nprobe": n_centers,
+        "token_dtype": "float32", "ivf_train_iters": 8,
+        # budget > any single (balanced ~250-row) cluster, << total rows:
+        # overflow truncates only the lowest-ranked probed clusters
+        "ivf_candidate_rows": 640,
     })
     index.prepare(d)
     index.index(ids, vectors)
     queries = vectors[:4]
     scores, out_ids = index.search(queries, top_n=5)
-    # the query vector itself lives in its own best cluster → must be found
+    # clustered data: the true top-5 live in the query's own (best-ranked)
+    # cluster, which fits the budget → truncation must not lose them
+    exact = np.argsort(-(queries @ vectors.T), axis=1)[:, :5]
     for i in range(4):
-        assert int(out_ids[i][0]) == i, (i, out_ids[i])
+        assert int(out_ids[i][0]) == int(exact[i][0]), (i, out_ids[i], exact[i])
+        assert len(set(map(int, out_ids[i])) & set(map(int, exact[i]))) >= 4
 
 
 def test_hnsw_native_index_recall_and_roundtrip(rng, tmp_path):
