@@ -328,7 +328,8 @@ def cmd_trec_car_queries(args) -> int:
     n = 0
     with open(args.inp, "r", encoding="utf-8") as f, open(args.out, "w", encoding="utf-8") as out:
         for line in f:
-            qid = line.strip().split()[0] if " " in line else line.strip()
+            parts = line.split()  # handles space- AND tab-separated qrel lines
+            qid = parts[0] if parts else ""
             if not qid or qid in known:
                 continue
             known.add(qid)

@@ -31,10 +31,18 @@ from matchmaker_tpu.data.readers import read_id_sequences
 IGNORE_LABEL = -100
 
 
-def word_groups_from_offsets(offsets) -> List[List[int]]:
+def word_groups_from_offsets(offsets, text: Optional[str] = None) -> List[List[int]]:
     """Group token positions into whole words via char offsets: a token whose
     span starts exactly where the previous one ended is a continuation
-    (wordpiece "##" pieces are contiguous; words are separated by spaces)."""
+    (wordpiece "##" pieces are contiguous; words are separated by spaces).
+
+    With ``text`` given, a contiguous boundary only continues a word when the
+    characters on both sides are alphanumeric and at least one is ASCII — so
+    punctuation glued to a word ("hello,") starts its own group and
+    per-character tokenizations of unsegmented CJK text don't collapse into
+    one giant group (each CJK token is its own word, matching BERT's
+    char-level treatment). Known limitation: non-ASCII alphabetic scripts
+    (e.g. Cyrillic) split at subword boundaries."""
     groups: List[List[int]] = []
     cur: List[int] = []
     prev_end = None
@@ -45,7 +53,16 @@ def word_groups_from_offsets(offsets) -> List[List[int]]:
                 cur = []
             prev_end = None
             continue
-        if prev_end is not None and off[0] == prev_end:
+        contiguous = prev_end is not None and off[0] == prev_end
+        if contiguous and text is not None:
+            before = text[prev_end - 1] if prev_end - 1 < len(text) and prev_end > 0 else ""
+            after = text[off[0]] if off[0] < len(text) else ""
+            contiguous = (
+                bool(before) and bool(after)
+                and before.isalnum() and after.isalnum()
+                and (before.isascii() or after.isascii())
+            )
+        if contiguous:
             cur.append(i)
         else:
             if cur:
@@ -72,6 +89,7 @@ def mask_whole_words(
     special_ids: Optional[set] = None,
     token_counter: Optional[Counter] = None,
     bias_sampling: str = "none",
+    text: Optional[str] = None,
 ):
     """Whole-word BERT masking; returns (masked_ids, labels).
 
@@ -79,14 +97,15 @@ def mask_whole_words(
     subword of the word (reference :143-165). ``bias_sampling`` ∈ {"none",
     "tf", "log-tf"}: with a shared ``token_counter`` (updated here), the mask
     probability per word is ∝ 1/tf (log2 for "log-tf"), mean-normalized to
-    ``mask_prob`` and capped at 0.9 (reference :167-185)."""
+    ``mask_prob`` and capped at 0.9 (reference :167-185). ``text`` refines
+    word boundaries (see word_groups_from_offsets)."""
     special_ids = special_ids or {0, 100, 101, 102, 103}
     masked = ids.copy()
     labels = np.full_like(ids, IGNORE_LABEL)
 
     groups = [
         g
-        for g in word_groups_from_offsets(offsets)
+        for g in word_groups_from_offsets(offsets, text)
         if all(mask[i] > 0 and ids[i] not in special_ids for i in g)
     ]
     if not groups:
@@ -101,10 +120,10 @@ def mask_whole_words(
         tfs = np.array([token_counter[int(ids[g[0]])] for g in groups], dtype=np.float64)
         if bias_sampling == "log-tf":
             tfs = np.log2(np.maximum(tfs, 2.0))
-        prob = tfs.sum() / tfs
-        prob /= prob.max()
-        prob *= mask_prob
-        prob = prob * (mask_prob / max(prob.mean(), 1e-9))
+        # probability ∝ 1/tf, mean-normalized to mask_prob, capped at 0.9
+        # (the normalization makes any constant prefactor irrelevant)
+        prob = 1.0 / tfs
+        prob = prob * (mask_prob / max(prob.mean(), 1e-12))
         prob = np.minimum(prob, 0.9)
     else:
         prob = np.full(len(groups), mask_prob)
@@ -171,6 +190,7 @@ def mlm_training_loader(
             masked, labels = mask_whole_words(
                 ids, mask, offsets, rng, mask_id, tokenizer.vocab_size, mask_prob,
                 token_counter=token_counter, bias_sampling=bias_sampling,
+                text=text,
             )
         else:
             ids, mask = tokenizer.encode(text, max_len)

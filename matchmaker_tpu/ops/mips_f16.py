@@ -77,6 +77,7 @@ def f16_scan_topk(
     if padded_n != n:
         corpus = jnp.pad(corpus, ((0, padded_n - n), (0, 0)))
     blocks = corpus.reshape(n_blocks, block_size, dim)
+    k_block = min(k, block_size)  # per-block width is bounded by the block
 
     def body(carry, inp):
         vb, block_num = inp
@@ -87,14 +88,14 @@ def f16_scan_topk(
         base = block_num * block_size
         row_ids = base + jnp.arange(block_size)
         scores = jnp.where(row_ids[None, :] < n, scores, -jnp.inf)
-        v, i = block_topk(scores, k, aggregate=False)
+        v, i = block_topk(scores, k_block, aggregate=False)
         return carry, (v, (base + i).astype(jnp.int32))
 
     _, (block_vals, block_idx) = jax.lax.scan(body, 0.0, (blocks, jnp.arange(n_blocks)))
     m = block_vals.shape[-1]
     all_vals = jnp.moveaxis(block_vals, 0, 1).reshape(q, n_blocks * m)
     all_idx = jnp.moveaxis(block_idx, 0, 1).reshape(q, n_blocks * m)
-    vals, pos = jax.lax.top_k(all_vals, k)
+    vals, pos = jax.lax.top_k(all_vals, min(k, n_blocks * m))
     return vals, jnp.take_along_axis(all_idx, pos, axis=1) + index_offset
 
 

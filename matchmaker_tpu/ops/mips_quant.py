@@ -73,6 +73,10 @@ def quantized_blocked_topk(
     n = values.shape[0]
     k = min(k, n)
     n_blocks = -(-n // block_size)
+    # per-block top-k width can't exceed the block; the final merge over
+    # n_blocks*k_block candidates still returns k (callers pad when
+    # n_blocks*k_block < k, which needs k > n and can't happen here)
+    k_block = min(k, block_size)
     padded_n = n_blocks * block_size
     global_scale = jnp.ndim(scales) == 0
     if padded_n != n:
@@ -108,7 +112,7 @@ def quantized_blocked_topk(
         base = block_num * block_size
         row_ids = base + jnp.arange(block_size)
         scores = jnp.where(row_ids[None, :] < n, scores, -jnp.inf)
-        v, i = _block_topk(scores, k, approx, recall_target)
+        v, i = _block_topk(scores, k_block, approx, recall_target)
         return carry, (v, (base + i).astype(jnp.int32))
 
     # collect per-block top-k, then ONE final merge — measured 2-4x faster than
@@ -117,10 +121,10 @@ def quantized_blocked_topk(
         vblocks, jnp.zeros((n_blocks, 1)), jnp.arange(n_blocks)
     )
     _, (block_vals, block_idx) = jax.lax.scan(body, 0.0, xs)
-    m = block_vals.shape[-1]  # > k when approx leaves candidates un-aggregated
+    m = block_vals.shape[-1]
     all_vals = jnp.moveaxis(block_vals, 0, 1).reshape(q, n_blocks * m)
     all_idx = jnp.moveaxis(block_idx, 0, 1).reshape(q, n_blocks * m)
-    vals, pos = jax.lax.top_k(all_vals, k)
+    vals, pos = jax.lax.top_k(all_vals, min(k, n_blocks * m))
     idx = jnp.take_along_axis(all_idx, pos, axis=1) + index_offset
     if global_scale:
         vals = vals * scales

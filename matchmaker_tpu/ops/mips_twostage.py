@@ -66,7 +66,7 @@ def twostage_exact_topk(
         else:
             exact = exact * scales[safe_idx]
     exact = jnp.where(valid, exact, -jnp.inf)
-    k_eff = min(k, fetch)
+    k_eff = min(k, cand_vals.shape[1])
     vals, pos = jax.lax.top_k(exact, k_eff)
     idx = jnp.take_along_axis(cand_idx, pos, axis=1) + index_offset
     idx = jnp.where(jnp.isfinite(vals), idx, -1)

@@ -125,18 +125,22 @@ def make_loss_fn(model, losses: LossBundle, config):
                 # uncertainty-weighted multi-task merge with learned
                 # log-variances (reference train.py:481 intent — the reference
                 # call site is broken, missing its log_vars argument — and
-                # losses/all.py:13-21 semantics)
+                # losses/all.py:13-21 semantics). Fixed slot assignment:
+                # [0]=ranking, [1]=qa span, [2]=answerability — a missing span
+                # loss must not shift answerability onto the span slot
                 from matchmaker_tpu.losses.dispatch import merge_loss
 
-                parts = [loss]
+                parts, slots = [loss], [0]
                 if span_loss is not None:
                     parts.append(span_loss)
+                    slots.append(1)
                 if answer_loss is not None:
                     parts.append(answer_loss)
-                log_vars = params["mtl_log_vars"][: len(parts)]
+                    slots.append(2)
+                log_vars = params["mtl_log_vars"][jnp.asarray(slots)]
                 loss, weighted = merge_loss(parts, log_vars)
                 stats["qa_weighted_ranking_loss"] = weighted[0]
-                if len(weighted) > 1:
+                if span_loss is not None:
                     stats["qa_weighted_qa_loss"] = weighted[1]
                 stats["mtl_log_var_ranking"] = log_vars[0]
             else:

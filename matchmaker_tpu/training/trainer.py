@@ -212,12 +212,12 @@ class Trainer:
                         self.params, self.opt_state, batch
                     )
                 except Exception as e:
-                    # only device OOM / transient runtime failures are
-                    # skippable (reference checks "CUDA out of memory"
-                    # explicitly, train.py:578-593); programming errors
-                    # (shape mismatch, tracer leak, NaN assert) must raise
+                    # only device OOM is skippable (reference checks "CUDA out
+                    # of memory" explicitly, train.py:578-593); every other
+                    # error — incl. XLA INVALID_ARGUMENT etc., which subclass
+                    # RuntimeError via JaxRuntimeError — must raise
                     msg = str(e)
-                    transient = isinstance(e, RuntimeError) or any(
+                    transient = any(
                         s in msg for s in ("RESOURCE_EXHAUSTED", "out of memory", "OOM")
                     )
                     if not transient:

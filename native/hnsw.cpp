@@ -42,8 +42,11 @@ struct HNSW {
 
     std::vector<float> vecs;              // n * dim
     std::vector<int> levels;              // level per node
-    // links[l][node*width .. +width): neighbor ids, -1 padded
-    std::vector<std::vector<int>> links;
+    // layer 0 holds every node (slot == id); upper layers store links only
+    // for the ~N/M^l nodes that reach them, addressed through slot_of[l]
+    // (an int per node per layer instead of `width` ints: 16x less padding)
+    std::vector<std::vector<int>> links;    // links[l][slot*width .. +width)
+    std::vector<std::vector<int>> slot_of;  // slot_of[l][node] (-1 = absent), l >= 1
     // parallel-build state: per-node adjacency spinlocks + a global mutex for
     // entry-point updates (reads of neighbor ints are deliberately unlocked —
     // int32 loads don't tear on the targets we care about, faiss does the same)
@@ -64,13 +67,16 @@ struct HNSW {
 
     void ensure_layer(int level) {
         while ((int)links.size() <= level) links.emplace_back();
+        while ((int)slot_of.size() <= level) slot_of.emplace_back();
     }
 
     int* node_links(int level, int id) {
-        return links[level].data() + (size_t)id * width(level);
+        size_t slot = level == 0 ? (size_t)id : (size_t)slot_of[level][id];
+        return links[level].data() + slot * width(level);
     }
     const int* node_links(int level, int id) const {
-        return links[level].data() + (size_t)id * width(level);
+        size_t slot = level == 0 ? (size_t)id : (size_t)slot_of[level][id];
+        return links[level].data() + slot * width(level);
     }
 
     // greedy descent on one layer: move to the best neighbor until no
@@ -222,8 +228,14 @@ struct HNSW {
             batch_max = std::max(batch_max, level);
         }
         ensure_layer(std::max(batch_max, std::max(max_level, 0)));
-        for (size_t l = 0; l < links.size(); l++)
-            links[l].resize((size_t)(base + n) * width((int)l), -1);
+        links[0].resize((size_t)(base + n) * width(0), -1);
+        for (size_t l = 1; l < links.size(); l++) {
+            slot_of[l].resize(base + n, -1);
+            size_t count = links[l].size() / width((int)l);
+            for (int i = 0; i < n; i++)
+                if (levels[base + i] >= (int)l) slot_of[l][base + i] = (int)count++;
+            links[l].resize(count * width((int)l), -1);
+        }
         if ((size_t)(base + n) > locks_cap) {
             locks = std::make_unique<SpinLock[]>(base + n);  // all unlocked here
             locks_cap = base + n;
@@ -244,13 +256,17 @@ struct HNSW {
         }
     }
 
-    void search(const float* q, int k, int ef, float* out_scores, int64_t* out_ids) const {
+    void search(const float* q, int k, int ef, float* out_scores, int64_t* out_ids,
+                std::vector<uint8_t>& visited, std::vector<int>& touched) const {
         if (entry < 0) {
             for (int i = 0; i < k; i++) { out_scores[i] = -INFINITY; out_ids[i] = -1; }
             return;
         }
-        std::vector<uint8_t> visited(size(), 0);
-        std::vector<int> touched;
+        // caller-provided scratch: reset only the touched bytes from the
+        // previous query instead of memset-ing O(N) per query
+        if ((int)visited.size() < size()) visited.assign(size(), 0);
+        for (int t : touched) visited[t] = 0;
+        touched.clear();
         int cur = entry;
         for (int l = max_level; l > 0; l--) cur = greedy(q, cur, l);
         auto res = search_layer(q, cur, std::max(ef, k), 0, visited, touched);
@@ -287,10 +303,16 @@ int mm_hnsw_size(void* ptr) { return ((HNSW*)ptr)->size(); }
 void mm_hnsw_search_batch(void* ptr, const float* queries, int nq, int k,
                           int ef_search, float* out_scores, int64_t* out_ids) {
     auto* h = (HNSW*)ptr;
-    #pragma omp parallel for schedule(dynamic)
-    for (int i = 0; i < nq; i++) {
-        h->search(queries + (size_t)i * h->dim, k, ef_search,
-                  out_scores + (size_t)i * k, out_ids + (size_t)i * k);
+    #pragma omp parallel
+    {
+        std::vector<uint8_t> visited((size_t)h->size(), 0);
+        std::vector<int> touched;
+        #pragma omp for schedule(dynamic)
+        for (int i = 0; i < nq; i++) {
+            h->search(queries + (size_t)i * h->dim, k, ef_search,
+                      out_scores + (size_t)i * k, out_ids + (size_t)i * k,
+                      visited, touched);
+        }
     }
 }
 
@@ -313,6 +335,11 @@ int mm_hnsw_save(void* ptr, const char* path) {
         int64_t sz = (int64_t)layer.size();
         fwrite(&sz, 8, 1, f);
         fwrite(layer.data(), 4, layer.size(), f);
+    }
+    for (size_t l = 1; l < h->links.size(); l++) {
+        int64_t sz = (int64_t)h->slot_of[l].size();
+        fwrite(&sz, 8, 1, f);
+        fwrite(h->slot_of[l].data(), 4, h->slot_of[l].size(), f);
     }
     fclose(f);
     return 0;
@@ -339,6 +366,13 @@ void* mm_hnsw_load(const char* path) {
         ok = ok && fread(&sz, 8, 1, f) == 1;
         layer.resize(sz);
         ok = ok && fread(layer.data(), 4, layer.size(), f) == layer.size();
+    }
+    h->slot_of.resize(n_layers);
+    for (int l = 1; l < n_layers; l++) {
+        int64_t sz = 0;
+        ok = ok && fread(&sz, 8, 1, f) == 1;
+        h->slot_of[l].resize(sz);
+        ok = ok && fread(h->slot_of[l].data(), 4, h->slot_of[l].size(), f) == h->slot_of[l].size();
     }
     fclose(f);
     if (!ok) { delete h; return nullptr; }

@@ -95,3 +95,35 @@ def test_mlm_training_loader_whole_word_default(tmp_path):
     b = batches[0]
     assert b["seq_ids"].shape == (4, 12)
     assert (b["mlm_labels"] != IGNORE_LABEL).sum() > 0
+
+
+def test_word_groups_text_refinement_punctuation_and_cjk():
+    # "hello, world" → "hello" (0,5) + "," (5,6) contiguous but ',' is not
+    # alphanumeric → separate groups; "wor|ld" split stays one word
+    text = "hello, world"
+    offsets = [(0, 5), (5, 6), (7, 10), (10, 12)]
+    groups = word_groups_from_offsets(offsets, text)
+    assert groups == [[0], [1], [2, 3]]
+
+    # per-char CJK tokens are contiguous but each is its own word
+    text = "中文词"
+    offsets = [(0, 1), (1, 2), (2, 3)]
+    groups = word_groups_from_offsets(offsets, text)
+    assert groups == [[0], [1], [2]]
+
+
+def test_mask_whole_words_respects_punctuation_boundary():
+    ids = np.array([5, 6, 7], dtype=np.int32)
+    mask = np.ones(3, dtype=np.float32)
+    text = "hi, yo"
+    offsets = [(0, 2), (2, 3), (4, 6)]  # "hi" "," "yo"
+    seen_patterns = set()
+    for seed in range(40):
+        _, labels = mask_whole_words(
+            ids, mask, offsets, random.Random(seed), 103, 30522,
+            mask_prob=0.5, text=text,
+        )
+        seen_patterns.add(tuple(labels != IGNORE_LABEL))
+    # "hi" and "," must be maskable independently (they'd always co-mask if
+    # grouped); with 40 seeds at p=0.5 we must see a split decision
+    assert any(p[0] != p[1] for p in seen_patterns), seen_patterns

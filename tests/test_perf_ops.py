@@ -143,3 +143,39 @@ def test_sharded_f16_scan_matches_single_device(rng, eight_devices):
         q, c, k, mesh=mesh, block_size=128, approx=False))(queries, corpus)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v8), rtol=1e-3)
+
+
+def test_topk_k_larger_than_block_size(rng):
+    """Regression: per-block top-k width must clamp to the block (k or
+    oversample*k > block_size used to crash at trace time)."""
+    from matchmaker_tpu.ops.mips_f16 import f16_scan_topk
+    from matchmaker_tpu.ops.mips_twostage import twostage_exact_topk
+
+    n, d, k = 512, 16, 100
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = corpus[:4]
+    values, scale = quantize_corpus(corpus, per_row=False)
+
+    # k > block_size on the quantized scan
+    vals, idx = quantized_blocked_topk(
+        jnp.asarray(queries), jnp.asarray(values), jnp.asarray(scale), k,
+        block_size=64, approx=False,
+    )
+    assert vals.shape == (4, k)
+    exact = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    assert len(set(map(int, np.asarray(idx)[0])) & set(map(int, exact[0]))) >= k - 2
+
+    # oversample*k > block_size on the two-stage path
+    vals2, idx2 = twostage_exact_topk(
+        jnp.asarray(queries), jnp.asarray(values), jnp.asarray(scale), k,
+        oversample=4, block_size=64, rescore_corpus=jnp.asarray(corpus.astype(np.float16)),
+    )
+    assert vals2.shape == (4, k)
+
+    # k > block_size on the f16 scan
+    vals3, idx3 = f16_scan_topk(
+        jnp.asarray(queries), jnp.asarray(corpus.astype(np.float16)), k,
+        block_size=64, approx=False,
+    )
+    assert vals3.shape == (4, k)
+    assert len(set(map(int, np.asarray(idx3)[0])) & set(map(int, exact[0]))) >= k - 2
