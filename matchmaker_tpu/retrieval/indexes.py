@@ -554,10 +554,20 @@ class StreamingFlatIndex(BaseNNIndexer):
 def build_index(config, mesh=None) -> BaseNNIndexer:
     """Index factory keyed on ``faiss_index_type`` (reference
     dense_retrieval.py:308-320). hnsw → first-party native graph index
-    (falls back to IVF when the native lib can't build); scann → IVF."""
+    (falls back to IVF when the native lib can't build). scann → the
+    ScaNN operating point expressed TPU-natively: compressed (int8-global)
+    approximate scan + exact re-ranking of the oversampled candidates
+    (ScaNN = lossy quantized scoring + reorder; reference scann_index.py's
+    ``reorder`` stage), i.e. FlatIndex in two-stage mode."""
     kind = config.get("faiss_index_type", "flat")
     if kind in ("flat", "exact", "full"):
         return FlatIndex(config, mesh)
+    if kind == "scann":
+        cfg = dict(config)
+        cfg.setdefault("mips_quantization", "int8-global")
+        cfg.setdefault("mips_twostage", True)
+        cfg.setdefault("mips_oversample", 4)
+        return FlatIndex(cfg, mesh)
     if kind == "hnsw":
         from matchmaker_tpu.retrieval.hnsw import hnsw_available
 
@@ -567,7 +577,7 @@ def build_index(config, mesh=None) -> BaseNNIndexer:
             return HNSWIndex(config, mesh)
         print("[index] native HNSW unavailable; falling back to IVF")
         return IVFIndex(config, mesh)
-    if kind in ("ivf", "scann"):
+    if kind == "ivf":
         return IVFIndex(config, mesh)
     if kind in ("sharded_ondisk", "streaming"):
         return StreamingFlatIndex(config, mesh)

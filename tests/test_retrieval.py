@@ -372,3 +372,25 @@ def test_flat_index_f16_scan_mode(rng, eight_devices):
         len(set(map(int, out_ids[i])) & set(map(int, exact_f16[i]))) / k for i in range(16)
     ])
     assert rec >= 0.95, rec
+
+
+def test_build_index_scann_maps_to_twostage_flat(rng, eight_devices):
+    """faiss_index_type: scann → compressed approximate scan + exact
+    re-ranking (the ScaNN operating point; reference scann_index.py)."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+    from matchmaker_tpu.retrieval.indexes import build_index
+
+    idx = build_index({"faiss_index_type": "scann", "token_dtype": "float32"}, make_mesh())
+    assert type(idx).__name__ == "FlatIndex"
+    assert idx.quantized and idx.twostage
+
+    n, d = 2048, 32
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    idx.prepare(d)
+    idx.index(np.arange(n), vectors)
+    queries = vectors[:8]
+    _, out_ids = idx.search(queries, 10)
+    exact = np.argsort(-(queries @ vectors.T), axis=1)[:, :10]
+    rec = np.mean([len(set(map(int, out_ids[i])) & set(map(int, exact[i]))) / 10 for i in range(8)])
+    assert rec >= 0.9, rec
