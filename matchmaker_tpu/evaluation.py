@@ -171,7 +171,11 @@ def test_model(
                 key = f"{qid}<->{did}"
                 if key in secondary:
                     limited[key] = secondary[key]
-        save_secondary_output(limited, os.path.join(run_folder, f"{test_name}-secondary.npz"))
+        save_secondary_output(
+            limited,
+            os.path.join(run_folder, f"{test_name}-secondary.npz"),
+            model_params=params,
+        )
     save_sorted_results(results, os.path.join(run_folder, f"{test_name}-output.txt"))
     metrics: Dict[str, float] = {}
     if test_config.get("qrels"):
@@ -311,12 +315,26 @@ def save_sorted_results(
                     break
 
 
-def save_secondary_output(secondary: Dict[str, dict], path: str) -> None:
-    """Interpretability dumps as compressed npz (reference eval.py:415-428)."""
+def save_secondary_output(
+    secondary: Dict[str, dict], path: str, model_params=None, max_param_size: int = 4096
+) -> None:
+    """Interpretability dumps as compressed npz (reference eval.py:415-428).
+
+    With ``model_params``, small learned tensors (≤ max_param_size elements —
+    TK mixer, kernel weights, gate biases, ...) are included under
+    ``model::<path>`` keys, the reference's ``get_param_secondary`` dump."""
     flat = {}
     for pair_key, tensors in secondary.items():
         for name, arr in tensors.items():
             flat[f"{pair_key}::{name}"] = arr
+    if model_params is not None:
+        import jax
+
+        for key_path, leaf in jax.tree_util.tree_flatten_with_path(model_params)[0]:
+            arr = np.asarray(leaf)
+            if arr.size <= max_param_size:
+                name = "/".join(str(getattr(p, "key", p)) for p in key_path)
+                flat[f"model::{name}"] = arr
     np.savez_compressed(path, **flat)
 
 

@@ -137,3 +137,57 @@ def test_param_labels_route_encoder_lr(eight_devices):
         by_top.setdefault(top, set()).add(label)
     assert by_top["encoder"] == {"encoder"}
     assert by_top["compressor"] == {"head"}
+
+
+def test_secondary_output_npz_per_query_topn_and_model_params(tmp_path, eight_devices):
+    """test_model with save_secondary_output writes per-(query,doc) tensors
+    for each query's TOP-RANKED docs plus small learned model params
+    (reference save_secondary_output, eval.py:415-428)."""
+    import numpy as np
+
+    import jax
+
+    from matchmaker_tpu.config import Config, auto_fill
+    from matchmaker_tpu.data.tokenization import build_tokenizer
+    from matchmaker_tpu.evaluation import test_model
+    from matchmaker_tpu.models import example_batch, get_model
+    from matchmaker_tpu.training.train_step import make_eval_step
+    from tests.make_tiny_dataset import make_tiny_dataset
+
+    paths = make_tiny_dataset(str(tmp_path / "data"))
+    config = Config(auto_fill({
+        "model": "tk",
+        "model_input_type": "independent",
+        "token_embedder_type": "embedding",
+        "vocab_path": paths["vocab"],
+        "token_embedding_size": 32,
+        "tk_att_heads": 2, "tk_att_layer": 1, "tk_att_ff_dim": 16,
+        "max_query_length": 8,
+        "max_doc_length": 24,
+        "batch_size_eval": 16,
+    }))
+    tokenizer = build_tokenizer(config)
+    model = get_model(config, tokenizer)
+    params = model.init(jax.random.PRNGKey(0), example_batch(config))["params"]
+    eval_step = make_eval_step(model)
+
+    test_model(
+        eval_step, params, config, tokenizer, str(tmp_path), "sec",
+        {"tsv": paths["val_tsv"], "qrels": paths["qrels"],
+         "save_secondary_output": True},
+    )
+    npz = np.load(tmp_path / "sec-secondary.npz")
+    qd_keys = [k for k in npz.files if "<->" in k]
+    model_keys = [k for k in npz.files if k.startswith("model::")]
+    assert qd_keys, "no per-pair tensors saved"
+    assert any("cosine_matrix" in k for k in qd_keys)
+    assert any("mixer" in k for k in model_keys), model_keys
+    assert any("kernel_bin_weights" in k for k in model_keys)
+
+    # size filter: big tables are excluded from the model dump
+    from matchmaker_tpu.evaluation import save_secondary_output
+
+    big = {"token_embedding": np.zeros((100, 100), np.float32), "mixer": np.ones(1, np.float32)}
+    save_secondary_output({}, str(tmp_path / "filter.npz"), model_params=big, max_param_size=256)
+    f = np.load(tmp_path / "filter.npz")
+    assert "model::mixer" in f.files and not any("token_embedding" in k for k in f.files)
