@@ -374,15 +374,15 @@ def test_flat_index_f16_scan_mode(rng, eight_devices):
     assert rec >= 0.95, rec
 
 
-def test_build_index_scann_maps_to_twostage_flat(rng, eight_devices):
-    """faiss_index_type: scann → compressed approximate scan + exact
-    re-ranking (the ScaNN operating point; reference scann_index.py)."""
+def test_build_index_scann_maps_to_compressed_scan(rng, eight_devices):
+    """faiss_index_type: scann → compressed (fp16) approximate scan — the
+    measured-best ScaNN operating point (reference scann_index.py)."""
     from matchmaker_tpu.parallel.mesh import make_mesh
     from matchmaker_tpu.retrieval.indexes import build_index
 
     idx = build_index({"faiss_index_type": "scann", "token_dtype": "float32"}, make_mesh())
     assert type(idx).__name__ == "FlatIndex"
-    assert idx.quantized and idx.twostage
+    assert idx.f16_scan and idx.approx
 
     n, d = 2048, 32
     vectors = rng.normal(size=(n, d)).astype(np.float32)
