@@ -132,28 +132,34 @@ def colbert_search_queries(
         scores = scores.reshape(b, lq, per_token_candidates)
         ids = ids.reshape(b, lq, per_token_candidates)
         for qi, qid in enumerate(qids):
-            # per query token: best retrieved score per doc; MaxSim sum over tokens
-            per_doc: Dict[str, float] = defaultdict(float)
+            # vectorized per query: per token, best retrieved score per doc
+            # (np.maximum.at over dense doc slots); MaxSim sum over tokens —
+            # a missing (token, doc) retrieval contributes 0 (lower bound)
+            valid = np.isfinite(scores[qi]) & (mask[qi][:, None] > 0)
+            flat_ids = ids[qi][valid]
+            if flat_ids.size == 0:
+                results[qid] = []
+                continue
+            uniq, inv = np.unique(flat_ids.astype(str), return_inverse=True)
+            totals = np.zeros(len(uniq), np.float64)
+            inv_full = np.full(ids[qi].shape, -1, np.int64)
+            inv_full[valid] = inv
             for t in range(lq):
-                if mask[qi, t] == 0:
+                row_valid = valid[t]
+                if not row_valid.any():
                     continue
-                best_for_doc: Dict[str, float] = {}
-                for s, d in zip(scores[qi, t], ids[qi, t]):
-                    if not np.isfinite(s):
-                        continue
-                    key = str(d)
-                    if key not in best_for_doc or s > best_for_doc[key]:
-                        best_for_doc[key] = float(s)
-                for d, s in best_for_doc.items():
-                    per_doc[d] += s
+                best = np.full(len(uniq), -np.inf)
+                np.maximum.at(best, inv_full[t][row_valid], scores[qi, t][row_valid])
+                totals += np.where(np.isfinite(best), best, 0.0)
+            order = np.argsort(-totals)
             if rescore_store is not None and rescore_n > 0:
                 # exact MaxSim refinement of the approximate candidate pool
-                cands = sorted(per_doc.items(), key=lambda kv: kv[1], reverse=True)[:rescore_n]
+                cands = [(str(uniq[j]), float(totals[j])) for j in order[:rescore_n]]
                 ranked = exact_rescore(
                     q_vecs[qi], mask[qi], cands, rescore_store, top_n, pad_c, pad_t
                 )
             else:
-                ranked = sorted(per_doc.items(), key=lambda kv: kv[1], reverse=True)[:top_n]
+                ranked = [(str(uniq[j]), float(totals[j])) for j in order[:top_n]]
             results[qid] = ranked
         perf.stop_block("search_aggregation", len(qids))
         n += len(qids)
