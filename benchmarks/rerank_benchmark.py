@@ -25,14 +25,16 @@ import numpy as np
 MODEL_CONFIGS = {
     # embedding-family (GloVe-class vocab), short docs
     "knrm": dict(model="knrm", token_embedder_type="embedding", max_doc_length=200, batch=256),
-    "tk": dict(model="tk", token_embedder_type="embedding", max_doc_length=200, batch=256),
+    "tk": dict(model="tk", token_embedder_type="embedding", max_doc_length=200, batch=256,
+               extra={"tk_att_heads": 10}),
     "conv_knrm": dict(model="conv_knrm", token_embedder_type="embedding", max_doc_length=200, batch=256),
     # transformer rankers, short docs
     "bert_cat": dict(model="bert_cat", token_embedder_type="huggingface_bpe", max_doc_length=200, batch=64),
     "bert_dot": dict(model="bert_dot", token_embedder_type="huggingface_bpe", max_doc_length=200, batch=64),
     "colbert": dict(model="colbert", token_embedder_type="huggingface_bpe", max_doc_length=200, batch=64),
     # long-document models (2000-token docs, reference tkl.yaml/idcm.yaml)
-    "tkl": dict(model="tkl", token_embedder_type="embedding", max_doc_length=2000, batch=32),
+    "tkl": dict(model="tkl", token_embedder_type="embedding", max_doc_length=2000, batch=32,
+                extra={"tk_att_heads": 10}),
     "idcm": dict(model="idcm", token_embedder_type="huggingface_bpe", max_doc_length=2000, batch=8),
 }
 
@@ -52,6 +54,7 @@ def bench_model(name: str, iters: int = 20):
         "max_doc_length": spec["max_doc_length"],
         "token_embedding_size": 300,
         "_vocab_size": 30522,
+        **spec.get("extra", {}),
     }))
 
     class _Tok:  # vocab-size holder; no text involved
