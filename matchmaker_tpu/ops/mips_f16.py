@@ -6,21 +6,26 @@ recall@1000-parity target is the exact ranking over the fp16 corpus, not over
 f32. This module scans the f16 corpus directly with bf16 MXU matmuls and
 hardware-binned ``approx_max_k`` (un-aggregated: binned candidates merge
 once with a single exact top-k — measured 2.2x); measured on v5e (clustered
-normalized 768-dim embeddings, k=1000, Q=256):
+normalized 768-dim embeddings, k=1000, Q=256, zero-padding masked via
+``n_valid``):
 
-  1.11M rows (one v5e-8 shard of MS MARCO): 45.1k QPS full-width at
-      recall@1000 = 0.987 / recall@10 = 0.9992 vs the f16-exact ranking
-      (18.0k QPS at 0.9934 with 557k blocks).
+  1.11M rows (one v5e-8 shard of MS MARCO): 37-45k QPS full-width at
+      recall@1000 = 0.986 vs the f16-exact ranking / 0.9863 vs f32-exact
+      (18k QPS at 0.993 with 557k blocks).
   8.9M rows on ONE chip (13.7 GB f16 in HBM, 557k blocks): 8,774 QPS at
-      recall@1000 = 0.9981 / recall@10 = 0.9984.
-  the f16-exact ranking itself overlaps f32-exact at 0.9447@1000 on this
-      corpus — i.e. faiss-fp16's own storage rounding dominates; every config
-      here sits on that same parity line.
+      recall@1000 = 0.9981 / recall@10 = 0.9984 vs f16-exact.
+  the f16-exact ranking overlaps f32-exact at 0.998@1000 — fp16 storage
+      rounding costs only ~0.2%. (Round-1 measured "0.9447" here: that was
+      zero-padded buffer tails scoring 0.0 and displacing real sub-zero
+      tail hits, NOT storage rounding — fixed by ``n_valid``; see
+      benchmarks/search_benchmark.py.)
 
 No candidate gather, no quantization beyond the storage fp16: stage-wise
 designs (int8 + gather rescore) lost 20x to HBM random-gather costs and are
 superseded by this scan (see ops/mips_twostage.py for the retained
-alternative).
+alternative). The fused Pallas bin-max kernel (ops/mips_binmax.py) beats
+this scan on both axes — 42.9k QPS at recall@1000 0.9967-vs-f32 on the same
+shard — and is the preferred approximate engine (``mips_kernel: binmax``).
 """
 
 from __future__ import annotations
@@ -41,10 +46,18 @@ def f16_scan_topk(
     approx: bool = True,
     recall_target: float = 0.95,
     index_offset: int = 0,
+    n_valid: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over an f16 corpus: bf16 matmul + approx (or exact) top-k per
     block, one exact merge. Full-width (block_size=None) is fastest when the
-    (Q, N) score matrix fits HBM; use blocks beyond ~2M rows per call."""
+    (Q, N) score matrix fits HBM; use blocks beyond ~2M rows per call.
+
+    ``n_valid``: number of real rows when the stored corpus carries zero-row
+    padding (StreamingFlatIndex blocks, benchmark buffers). Zero rows score
+    exactly 0.0 which CAN land in a deep top-k — on MS MARCO-shaped clustered
+    corpora the true score at rank 1000 is often below 0, so unmasked padding
+    silently displaces real results (this skewed the round-1 "parity line"
+    measurement; see benchmarks/search_benchmark.py)."""
     q, dim = queries.shape
     n = corpus.shape[0]
     k = min(k, n)
@@ -66,6 +79,9 @@ def f16_scan_topk(
             qb, corpus.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if n_valid is not None and n_valid < n:
+            cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols < n_valid, scores, -jnp.inf)
         v, i = block_topk(scores, k, aggregate=False)
         if v.shape[1] > k:  # un-aggregated binned candidates → one exact top-k
             v, pos = jax.lax.top_k(v, k)
@@ -87,7 +103,8 @@ def f16_scan_topk(
         )
         base = block_num * block_size
         row_ids = base + jnp.arange(block_size)
-        scores = jnp.where(row_ids[None, :] < n, scores, -jnp.inf)
+        limit = n if n_valid is None else min(n, n_valid)
+        scores = jnp.where(row_ids[None, :] < limit, scores, -jnp.inf)
         v, i = block_topk(scores, k_block, aggregate=False)
         return carry, (v, (base + i).astype(jnp.int32))
 
@@ -109,11 +126,14 @@ def sharded_f16_scan_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mesh-sharded f16 scan: per-chip scan + one (Q, k·shards) merge over ICI.
     This is the BASELINE v5e-8 configuration: 8 chips × 1.11M-row shards."""
+    n_valid = kw.pop("n_valid", None)
     if mesh is None or len(mesh.devices.flatten()) == 1:
-        return f16_scan_topk(queries, corpus, k, **kw)
+        return f16_scan_topk(queries, corpus, k, n_valid=n_valid, **kw)
 
     n_shards = mesh.shape[axis]
     shard_rows = corpus.shape[0] // n_shards
+    if n_valid is None:
+        n_valid = corpus.shape[0]
 
     @functools.partial(
         jax.shard_map,
@@ -124,12 +144,15 @@ def sharded_f16_scan_topk(
     )
     def per_shard(q, c_shard):
         shard_id = jax.lax.axis_index(axis)
+        base = shard_id * shard_rows
         vals, idx = f16_scan_topk(q, c_shard, k, index_offset=0, **kw)
+        # mask corpus-tail zero padding (global n_valid) per shard
+        vals = jnp.where(idx + base < n_valid, vals, -jnp.inf)
         if vals.shape[1] < k:
             pad = k - vals.shape[1]
             vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
             idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-        return vals, jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
+        return vals, jnp.where(idx >= 0, idx + base, -1)
 
     part_vals, part_idx = per_shard(queries, corpus)
     vals, pos = jax.lax.top_k(part_vals, k)

@@ -63,14 +63,17 @@ def quantized_blocked_topk(
     approx: bool = True,
     recall_target: float = 0.95,
     query_quant: bool = True,
+    n_valid: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked exact-or-approx top-k over an int8 corpus.
 
     ``query_quant=True`` also quantizes queries per-row so the matmul runs
     int8×int8→int32 on the MXU's double-rate path; scores are rescaled with
-    both sides' scales."""
+    both sides' scales. ``n_valid`` masks zero-padded tail rows a caller may
+    carry in its storage buffer (their score 0 can land in a deep top-k)."""
     q, d = queries.shape
     n = values.shape[0]
+    limit = n if n_valid is None else min(n, int(n_valid))
     k = min(k, n)
     n_blocks = -(-n // block_size)
     # per-block top-k width can't exceed the block; the final merge over
@@ -111,7 +114,7 @@ def quantized_blocked_topk(
                 scores = scores * sb[None, :]
         base = block_num * block_size
         row_ids = base + jnp.arange(block_size)
-        scores = jnp.where(row_ids[None, :] < n, scores, -jnp.inf)
+        scores = jnp.where(row_ids[None, :] < limit, scores, -jnp.inf)
         v, i = _block_topk(scores, k_block, approx, recall_target)
         return carry, (v, (base + i).astype(jnp.int32))
 
@@ -143,11 +146,14 @@ def sharded_quantized_topk(
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mesh-sharded version: per-chip quantized top-k + ICI merge."""
+    n_valid = kw.pop("n_valid", None)
     if mesh is None or len(mesh.devices.flatten()) == 1:
-        return quantized_blocked_topk(queries, values, scales, k, **kw)
+        return quantized_blocked_topk(queries, values, scales, k, n_valid=n_valid, **kw)
 
     n_shards = mesh.shape[axis]
     shard_rows = values.shape[0] // n_shards
+    if n_valid is None:
+        n_valid = values.shape[0]
     scale_spec = P() if jnp.ndim(scales) == 0 else P(axis)
 
     @functools.partial(
@@ -159,9 +165,11 @@ def sharded_quantized_topk(
     )
     def per_shard(q, v_shard, s_shard):
         shard_id = jax.lax.axis_index(axis)
-        return quantized_blocked_topk(
+        vals, idx = quantized_blocked_topk(
             q, v_shard, s_shard, k, index_offset=shard_id * shard_rows, **kw
         )
+        # global corpus-tail padding mask (idx is already globally offset)
+        return jnp.where(idx < n_valid, vals, -jnp.inf), idx
 
     part_vals, part_idx = per_shard(queries, values, scales)
     vals, pos = jax.lax.top_k(part_vals, k)
