@@ -11,15 +11,20 @@ normalized corpus (the shape of real dense-retrieval embeddings):
                 recall-parity production config (ops/mips_f16.py)
   twostage_*    int8 approx candidates + exact rescore (ops/mips_twostage.py)
 
-Measured v5e results (clustered 768-dim corpus, k=1000, Q=256, after the
-un-aggregated approx_max_k + single-exact-merge optimization):
-  1.113M rows (one v5e-8 shard of MS MARCO): f16scan_full 45.1k QPS @
-    recall@1000 0.987 vs f16-exact; f16scan blk=557056 18.0k QPS @ 0.9934;
-    approx_int8 12.9k QPS @ 0.884-vs-f32.
+Measured v5e results (clustered 768-dim corpus, k=1000, Q=256, padding
+masked via n_valid — round 1 left the build buffer's zero rows unmasked,
+which polluted every deep-top-k recall line; score 0.0 beats the real
+rank-1000 hits on this corpus):
+  1.113M rows (one v5e-8 shard of MS MARCO):
+    binmax (fused Pallas)  42.9k QPS @ recall@1000 0.9967 vs f32 / 0.998 vs f16-exact
+    f16scan_full           37.3k QPS @ 0.9863 vs f32  (45.1k in a quiet-tunnel run)
+    f16scan blk=557056     17.8k QPS @ 0.9928 vs f32
+    approx_int8            15.7k QPS @ 0.9124 vs f32  (strictly dominated by binmax)
   8.9M rows single chip (13.7 GB f16 in HBM): f16scan 8,774 QPS @
-    recall@1000 0.9981 / recall@10 0.9984 vs f16-exact.
-  The f16-exact ranking overlaps f32-exact at 0.9447@1000 on this corpus —
-    the fp16 storage rounding faiss's own fp16 index carries.
+    recall@1000 0.9981 vs f16-exact.
+  The f16-exact ranking overlaps f32-exact at 0.998@1000 — fp16 storage
+    rounding costs ~0.2% (the round-1 "0.9447 parity line" was the padding
+    artifact above, not storage rounding).
 
 The corpus is generated on device block-by-block from a fixed PRNG; at 8.9M
 only one copy fits (int8 6.8 GB or f16 13.7 GB), so pick configs accordingly.
@@ -35,6 +40,11 @@ Usage:
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root importable
+
 import argparse
 import functools
 import json
@@ -48,6 +58,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk
 from matchmaker_tpu.ops.mips_f16 import f16_scan_topk
 from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
 from matchmaker_tpu.ops.mips_twostage import twostage_exact_topk
@@ -101,7 +112,9 @@ def build_corpus(rows: int, dim: int, block: int, keep_f16: bool, keep_int8: boo
             values = fill_int8(values, b, i)
         if keep_f16:
             rescore = fill_f16(rescore, b, i)
-    # padded tail rows stay zero → scores 0, never in any top-k of interest
+    # padded tail rows stay zero → scores exactly 0.0, which DOES land in
+    # a deep top-k on clustered corpora (the rank-1000 score is often < 0):
+    # every search below masks them via n_valid=rows
     jax.block_until_ready(values if keep_int8 else rescore)
     return values, scale, rescore, gen
 
@@ -181,14 +194,17 @@ def main():
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument(
         "--configs", default="approx_int8,f16scan",
-        help="comma list of: approx_int8, f16scan, f16scan_full, twostage_int8, twostage_f16",
+        help="comma list of: approx_int8, f16scan, f16scan_full, binmax[,_t1024,_t4096], "
+        "twostage_int8, twostage_f16",
     )
     ap.add_argument("--scan-block", type=int, default=557056)
     args = ap.parse_args()
     configs = set(args.configs.split(","))
 
     print(f"[search-bench] device={jax.devices()[0]} rows={args.rows} dim={args.dim} k={args.k}")
-    keep_f16 = bool(configs & {"f16scan", "f16scan_full", "twostage_f16"})
+    keep_f16 = bool(
+        configs & {"f16scan", "f16scan_full", "twostage_f16", "binmax", "binmax_t1024", "binmax_t4096"}
+    )
     keep_int8 = bool(configs & {"approx_int8", "twostage_int8", "twostage_f16"})
     t0 = time.time()
     values, scale, rescore, gen = build_corpus(
@@ -212,7 +228,8 @@ def main():
     if rescore is not None:
         t0 = time.time()
         _, idx = jax.jit(lambda q, c: f16_scan_topk(
-            q, c, args.k, block_size=args.scan_block, approx=False))(queries, rescore)
+            q, c, args.k, block_size=args.scan_block, approx=False,
+            n_valid=args.rows))(queries, rescore)
         true_f16 = np.asarray(idx)
         print(f"[search-bench] f16-exact ground truth in {time.time()-t0:.0f}s")
         if true_f32 is not None:
@@ -236,14 +253,27 @@ def main():
 
     if "approx_int8" in configs:
         run("approx_int8", lambda q, v, s: quantized_blocked_topk(
-            q, v, s, args.k, block_size=args.block, approx=True, recall_target=0.95),
-            (values, scale))
+            q, v, s, args.k, block_size=args.block, approx=True, recall_target=0.95,
+            n_valid=args.rows), (values, scale))
     if "f16scan" in configs:
         run("f16scan", lambda q, c: f16_scan_topk(
-            q, c, args.k, block_size=args.scan_block), (rescore,))
+            q, c, args.k, block_size=args.scan_block, n_valid=args.rows), (rescore,))
     if "f16scan_full" in configs:
         run("f16scan_full", lambda q, c: f16_scan_topk(
-            q, c, args.k, block_size=None), (rescore,))
+            q, c, args.k, block_size=None, n_valid=args.rows), (rescore,))
+    binmax_cfgs = {c for c in configs if c.startswith("binmax")}
+    if binmax_cfgs:
+        # fused Pallas candidate scan (ops/mips_binmax.py): scores never hit
+        # HBM; corpus already padded to a tile multiple by build_corpus.
+        # Mosaic has no f16 type — the kernel takes a bf16 corpus (same scores
+        # as the f16 scan, which casts f16→bf16 pre-matmul anyway).
+        bf16_corpus = jax.jit(lambda c: c.astype(jnp.bfloat16))(rescore)
+        jax.block_until_ready(bf16_corpus)
+        for cfg in sorted(binmax_cfgs):
+            tile = int(cfg.split("_t")[1]) if "_t" in cfg else 2048
+            run(cfg, functools.partial(
+                lambda q, c, t: binmax_scan_topk(q, c, args.k, n_valid=args.rows, tile_rows=t),
+                t=tile), (bf16_corpus,))
     if "twostage_int8" in configs:
         run("twostage_int8", lambda q, v, s: twostage_exact_topk(
             q, v, s, args.k, oversample=args.oversample, block_size=args.block,

@@ -86,6 +86,12 @@ class FlatIndex(BaseNNIndexer):
         self.f16_scan = config.get("mips_quantization", "none") == "float16"
         self.approx = config.get("mips_approx_topk", False)
         self.recall_target = config.get("mips_approx_recall_target", 0.95)
+        # mips_kernel: "scan" (XLA matmul + approx_max_k) or "binmax" (fused
+        # Pallas matmul + per-bin top-2 candidates, ops/mips_binmax.py) —
+        # binmax holds recall@1000 ≈ 0.997 vs f32-exact at the same QPS
+        # (the scan's hardware binning loses ~1.3% more); falls back to the
+        # exact scan when the corpus is too small for its candidate pool
+        self.mips_kernel = config.get("mips_kernel", "scan")
         # two-stage exact-rescored search (ops/mips_twostage.py): approx int8
         # candidate scan + exact rescore; restores recall parity at approx speed
         self.twostage = config.get("mips_twostage", False)
@@ -139,6 +145,7 @@ class FlatIndex(BaseNNIndexer):
             self._device_vectors = (dv, ds, rescore)
             approx, recall = self.approx, self.recall_target
             twostage, oversample = self.twostage, self.oversample
+            row_count = self._row_count
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def search_fn(queries, corpus, k):
@@ -153,14 +160,17 @@ class FlatIndex(BaseNNIndexer):
                     )
                 return sharded_quantized_topk(
                     queries, values, scales, k, mesh=mesh, block_size=block,
-                    approx=approx, recall_target=recall,
+                    approx=approx, recall_target=recall, n_valid=row_count,
                 )
 
             self._search_fn = search_fn
             return
 
         if self.f16_scan:
-            arr = jnp.asarray(vectors, dtype=jnp.float16)
+            # binmax stores bf16 (Mosaic has no f16 type; scores are identical
+            # — the scan casts f16→bf16 before its matmul anyway)
+            use_binmax = self.mips_kernel == "binmax"
+            arr = jnp.asarray(vectors, dtype=jnp.bfloat16 if use_binmax else jnp.float16)
             if self.mesh is not None and n_shards > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -168,14 +178,26 @@ class FlatIndex(BaseNNIndexer):
             self._device_vectors = arr
             approx, recall = self.approx, self.recall_target
             scan_block = self.block_size if vectors.shape[0] > self.block_size else None
+            row_count = self._row_count
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def search_fn(queries, corpus, k):
+                n = corpus.shape[0]
+                # binmax candidate pool is n/128*per_bin wide; below ~2k the
+                # pool can't cover k → exact scan (tiny corpora are cheap)
+                if use_binmax and n // 128 * 8 >= 2 * k:
+                    from matchmaker_tpu.ops.mips_binmax import sharded_binmax_topk
+
+                    # aim for ≥8x oversampled candidates, per-bin ranks 2..8
+                    per_bin = int(min(8, max(2, -(-8 * k * 128 // n))))
+                    return sharded_binmax_topk(
+                        queries, corpus, k, mesh=mesh, n_valid=row_count, per_bin=per_bin,
+                    )
                 from matchmaker_tpu.ops.mips_f16 import sharded_f16_scan_topk
 
                 return sharded_f16_scan_topk(
                     queries, corpus, k, mesh=mesh, block_size=scan_block,
-                    approx=approx, recall_target=recall,
+                    approx=approx, recall_target=recall, n_valid=row_count,
                 )
 
             self._search_fn = search_fn

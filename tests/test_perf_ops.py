@@ -179,3 +179,98 @@ def test_topk_k_larger_than_block_size(rng):
     )
     assert vals3.shape == (4, k)
     assert len(set(map(int, np.asarray(idx3)[0])) & set(map(int, exact[0]))) >= k - 2
+
+
+def test_binmax_pallas_matches_jnp():
+    """Fused bin-max candidate kernel (interpret mode) is bit-identical to the
+    jnp reference, and top-k over the candidates nearly matches exact."""
+    from matchmaker_tpu.ops.mips_binmax import (
+        binmax_candidates,
+        binmax_candidates_jnp,
+        binmax_scan_topk,
+    )
+
+    rng = np.random.default_rng(7)  # own rng: session rng state depends on test order
+    n, d, q = 3000, 32, 7  # non-multiple of tile_rows → padding path
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
+    queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+
+    v1, i1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512)
+    v2, i2 = binmax_candidates_jnp(queries, corpus, tile_rows=512)
+    # ids exactly equal; values may differ by 1 ULP (matmul association in
+    # interpret mode vs XLA scan)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+    # ids in range, padding rows never returned with finite score
+    finite = np.isfinite(np.asarray(v1))
+    assert np.asarray(i1)[finite].max() < n
+
+    # candidate top-k ≈ exact top-k when bins >> k (24 bins x2 candidates;
+    # k=8 over 24 bins loses a doc only on a ≥3-collision — allow 2 slips)
+    k = 8
+    tv, ti = binmax_scan_topk(queries, corpus, k=k, tile_rows=512, use_pallas=False)
+    exact = np.argsort(-(np.asarray(queries) @ np.asarray(corpus, np.float32).T), axis=1)[:, :k]
+    for qi in range(q):
+        assert len(set(map(int, np.asarray(ti)[qi])) & set(map(int, exact[qi]))) >= k - 2
+
+
+def test_binmax_per_bin_dedup():
+    """Per-bin rank-2 candidates are distinct positions within the bin."""
+    from matchmaker_tpu.ops.mips_binmax import binmax_candidates_jnp
+
+    rng = np.random.default_rng(8)
+    corpus = jnp.asarray(rng.normal(size=(512, 16)).astype(np.float16))
+    queries = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    vals, ids = binmax_candidates_jnp(queries, corpus, tile_rows=256)
+    # layout: per tile, nb rank-0 rows then nb rank-1 rows (module docstring)
+    nb = 256 // 128
+    ids = np.asarray(ids).reshape(4, -1, 2, nb)
+    assert (ids[:, :, 0, :] != ids[:, :, 1, :]).all()
+
+
+def test_sharded_binmax_matches_single_device(eight_devices):
+    """sharded_binmax_topk == single-device binmax over the same corpus,
+    including the in-shard padding masks (shard_rows not a tile multiple)."""
+    from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk, sharded_binmax_topk
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    n, d, k = 8 * 384, 32, 16  # 384 rows/shard → pads to 512 inside each shard
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
+    queries = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+    mesh = make_mesh()
+
+    v1, i1 = jax.jit(lambda q, c: binmax_scan_topk(q, c, k, tile_rows=512, use_pallas=False))(
+        queries, corpus)
+    v8, i8 = jax.jit(lambda q, c: sharded_binmax_topk(
+        q, c, k, mesh=mesh, tile_rows=512, use_pallas=False))(queries, corpus)
+    assert np.asarray(i8).max() < n
+    # same candidate math → identical id sets per query (order can differ on ties)
+    for qi in range(8):
+        assert set(map(int, np.asarray(i1)[qi])) == set(map(int, np.asarray(i8)[qi]))
+    np.testing.assert_allclose(np.sort(np.asarray(v1), 1), np.sort(np.asarray(v8), 1), rtol=1e-5)
+
+
+def test_flat_index_binmax_kernel(eight_devices):
+    """FlatIndex with mips_kernel=binmax: small corpus routes to the exact
+    scan fallback; a bin-sized corpus uses the fused candidate path. Both
+    return correct ids on the 8-device mesh."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+    from matchmaker_tpu.retrieval.indexes import FlatIndex
+
+    rng = np.random.default_rng(11)
+    for n in (160, 8 * 2048):
+        index = FlatIndex(
+            {"token_dtype": "float16", "mips_quantization": "float16",
+             "mips_kernel": "binmax"}, make_mesh(),
+        )
+        vectors = rng.normal(size=(n, 24)).astype(np.float32)
+        vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+        ids = np.array([f"d{i}" for i in range(n)])
+        index.prepare(24)
+        index.index(ids, vectors)
+        q = vectors[[3, n - 5]]
+        _, got = index.search(q, 5)
+        # self-retrieval: the query's own doc must be in the top-5
+        assert "d3" in set(got[0]) and f"d{n-5}" in set(got[1]), (n, got)
