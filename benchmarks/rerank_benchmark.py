@@ -11,6 +11,11 @@ Usage: python benchmarks/rerank_benchmark.py [--models knrm,tk,bert_cat,...]
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root importable
+
 import argparse
 import json
 import os

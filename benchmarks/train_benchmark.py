@@ -9,6 +9,11 @@ Usage: python benchmarks/train_benchmark.py [--batch 32] [--max-doc 200]
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root importable
+
 import argparse
 import json
 import os

@@ -34,6 +34,11 @@ class EncoderConfig:
     type_vocab_size: int = 0  # 2 for bert, 0 for distilbert
     layer_norm_eps: float = 1e-12
     dropout: float = 0.1
+    # Run LayerNorms (and the residual stream) in compute_dtype instead of
+    # f32. Off for training (AMP semantics keep norms in f32, reference
+    # train.py:251); the inference encode path can enable it to keep every
+    # elementwise op in bf16 — fewer HBM bytes between the matmuls.
+    norms_in_compute_dtype: bool = False
 
     @classmethod
     def distilbert(cls, **kw):
@@ -60,6 +65,7 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask, deterministic=True):
         cfg = self.cfg
+        ln_dtype = self.compute_dtype if cfg.norms_in_compute_dtype else None
         h = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads,
             qkv_features=cfg.hidden_size,
@@ -69,12 +75,12 @@ class EncoderLayer(nn.Module):
             dtype=self.compute_dtype,
             name="attention",
         )(x, x, x, mask=attn_mask)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_norm")(x + h)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=ln_dtype, name="attention_norm")(x + h)
         h = nn.Dense(cfg.intermediate_size, dtype=self.compute_dtype, name="mlp_in")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="mlp_out")(h)
         h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="mlp_norm")(x + h)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=ln_dtype, name="mlp_norm")(x + h)
 
 
 class TransformerEncoderLM(nn.Module):
@@ -91,7 +97,11 @@ class TransformerEncoderLM(nn.Module):
             self.token_type_embeddings = nn.Embed(
                 cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings"
             )
-        self.embeddings_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_norm")
+        self.embeddings_norm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps,
+            dtype=self.compute_dtype if cfg.norms_in_compute_dtype else None,
+            name="embeddings_norm",
+        )
         self.embeddings_dropout = nn.Dropout(cfg.dropout)
         self.layers = [
             EncoderLayer(cfg, self.compute_dtype, name=f"layer_{i}") for i in range(cfg.num_layers)
