@@ -37,8 +37,11 @@ def bench_encode(jax, batch_size=1024, seq_len=128, n_iters=10):
     from matchmaker_tpu.models.bert_dot import BertDot
     from matchmaker_tpu.models.encoder import EncoderConfig
 
+    # norms_in_compute_dtype: bf16 LayerNorms/residuals on the inference
+    # encode path (+2.8% measured; benchmarks/encode_sweep.py)
     model = BertDot(
-        encoder_cfg=EncoderConfig.distilbert(), return_vecs=False, compute_dtype=jnp.bfloat16
+        encoder_cfg=EncoderConfig.distilbert(norms_in_compute_dtype=True),
+        return_vecs=False, compute_dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
     ids = rng.integers(1000, 29000, size=(batch_size, seq_len)).astype(np.int32)
@@ -71,9 +74,10 @@ def bench_encode(jax, batch_size=1024, seq_len=128, n_iters=10):
 
 
 def bench_search(jax, n_corpus=1_048_576, dim=768, q_batch=256, k=1000, n_iters=10):
-    """Returns (max-speed approx QPS, recall-parity two-stage QPS) over 1M."""
+    """Returns (approx int8 QPS, f16-scan QPS, fused binmax QPS) over 1M."""
     import jax.numpy as jnp
 
+    from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk
     from matchmaker_tpu.ops.mips_f16 import f16_scan_topk
     from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
 
@@ -112,13 +116,24 @@ def bench_search(jax, n_corpus=1_048_576, dim=768, q_batch=256, k=1000, n_iters=
         vals, _ = f16_scan_topk(q + seed * 1e-9, corpus, k=k, block_size=None)
         return vals[:, 0].sum()
 
+    @jax.jit
+    def binmax_step(q, seed, corpus):
+        # fused Pallas candidate kernel (ops/mips_binmax.py): the production
+        # engine — recall@1000 0.9967 vs f32-exact at the highest QPS
+        vals, _ = binmax_scan_topk(q + seed * 1e-9, corpus, k=k)
+        return vals[:, 0].sum()
+
     log("compiling approx int8 search")
     qps_approx = timed(approx_step, values, scales)
     log(f"approx int8 search qps: {qps_approx:.1f}")
     log("compiling f16-scan recall-parity search")
     qps_parity = timed(parity_step, f16_corpus)
     log(f"f16-scan recall-parity qps: {qps_parity:.1f}")
-    return qps_approx, qps_parity
+    log("compiling fused binmax search")
+    bf16_corpus = jax.jit(lambda c: c.astype(jnp.bfloat16))(f16_corpus)
+    qps_binmax = timed(binmax_step, bf16_corpus)
+    log(f"fused binmax qps: {qps_binmax:.1f}")
+    return qps_approx, qps_parity, qps_binmax
 
 
 def main() -> None:
@@ -128,10 +143,10 @@ def main() -> None:
     psg_per_s = bench_encode(jax)
     log(f"encode throughput: {psg_per_s:.1f} psg/s")
     try:
-        qps, qps_parity = bench_search(jax)
+        qps, qps_parity, qps_binmax = bench_search(jax)
     except Exception as e:
         log(f"search bench failed: {e}")
-        qps = qps_parity = float("nan")
+        qps = qps_parity = qps_binmax = float("nan")
 
     baseline = 6900.0  # reference best encoding psg/s (A40, ONNX fp16)
     print(
@@ -144,6 +159,7 @@ def main() -> None:
                 "extra": {
                     "exhaustive_search_qps_1M_corpus": round(qps, 1),
                     "recall_parity_f16scan_qps_1M_corpus": round(qps_parity, 1),
+                    "binmax_fused_qps_1M_corpus": round(qps_binmax, 1),
                 },
             }
         )

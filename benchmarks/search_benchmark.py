@@ -84,16 +84,21 @@ def make_generators(dim: int, block: int):
     return gen_block_f32
 
 
-def build_corpus(rows: int, dim: int, block: int, keep_f16: bool, keep_int8: bool = True):
-    """int8 corpus (+global scale) and/or an f16 copy, on device.
+def build_corpus(rows: int, dim: int, block: int, keep_f16: bool, keep_int8: bool = True,
+                 bf16_direct: bool = False):
+    """int8 corpus (+global scale) and/or a 16-bit copy, on device.
 
     Blocks are written into preallocated donated buffers so peak memory is
     buffer + one f32 block (a concatenate would double the corpus). At MS
-    MARCO scale both copies don't fit a 16 GB chip — pick one."""
+    MARCO scale both copies don't fit a 16 GB chip — pick one.
+    ``bf16_direct`` stores the 16-bit copy as bf16(f16(x)) — the binmax
+    kernel's storage dtype, same values the f16 scan computes with — so an
+    8.9M binmax run fits without a second 13.7 GB buffer."""
     gen = make_generators(dim, block)
     n_blocks = -(-rows // block)
     padded = n_blocks * block
     scale = jnp.float32(1.0 / 127.0)  # normalized rows → |x| <= 1
+    f16_dtype = jnp.bfloat16 if bf16_direct else jnp.float16
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def fill_int8(buf, b, i):
@@ -102,10 +107,12 @@ def build_corpus(rows: int, dim: int, block: int, keep_f16: bool, keep_int8: boo
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def fill_f16(buf, b, i):
-        return jax.lax.dynamic_update_slice(buf, b.astype(jnp.float16), (i * block, 0))
+        # via f16 even in bf16_direct mode: identical stored values either way
+        return jax.lax.dynamic_update_slice(
+            buf, b.astype(jnp.float16).astype(f16_dtype), (i * block, 0))
 
     values = jnp.zeros((padded, dim), jnp.int8) if keep_int8 else None
-    rescore = jnp.zeros((padded, dim), jnp.float16) if keep_f16 else None
+    rescore = jnp.zeros((padded, dim), f16_dtype) if keep_f16 else None
     for i in range(n_blocks):
         b = gen(i)
         if keep_int8:
@@ -202,13 +209,15 @@ def main():
     configs = set(args.configs.split(","))
 
     print(f"[search-bench] device={jax.devices()[0]} rows={args.rows} dim={args.dim} k={args.k}")
-    keep_f16 = bool(
-        configs & {"f16scan", "f16scan_full", "twostage_f16", "binmax", "binmax_t1024", "binmax_t4096"}
-    )
+    binmax_cfgs = {c for c in configs if c.startswith("binmax")}
+    needs_f16 = bool(configs & {"f16scan", "f16scan_full", "twostage_f16"})
+    keep_f16 = needs_f16 or bool(binmax_cfgs)
+    # binmax-only runs store bf16 directly: no second 13.7 GB buffer at 8.9M
+    bf16_direct = bool(binmax_cfgs) and not needs_f16
     keep_int8 = bool(configs & {"approx_int8", "twostage_int8", "twostage_f16"})
     t0 = time.time()
     values, scale, rescore, gen = build_corpus(
-        args.rows, args.dim, args.block, keep_f16, keep_int8
+        args.rows, args.dim, args.block, keep_f16, keep_int8, bf16_direct=bf16_direct
     )
     queries = make_queries(gen, args.queries, args.dim)
     mem = (f"int8 {values.nbytes/1e9:.1f} GB" if values is not None else "") + (
@@ -225,7 +234,7 @@ def main():
         true_f32 = exact_ground_truth(gen, queries, args.rows, args.block, args.k)
         print(f"[search-bench] f32-exact ground truth in {time.time()-t0:.0f}s")
     true_f16 = None
-    if rescore is not None:
+    if rescore is not None and not bf16_direct:
         t0 = time.time()
         _, idx = jax.jit(lambda q, c: f16_scan_topk(
             q, c, args.k, block_size=args.scan_block, approx=False,
@@ -261,14 +270,16 @@ def main():
     if "f16scan_full" in configs:
         run("f16scan_full", lambda q, c: f16_scan_topk(
             q, c, args.k, block_size=None, n_valid=args.rows), (rescore,))
-    binmax_cfgs = {c for c in configs if c.startswith("binmax")}
     if binmax_cfgs:
         # fused Pallas candidate scan (ops/mips_binmax.py): scores never hit
         # HBM; corpus already padded to a tile multiple by build_corpus.
         # Mosaic has no f16 type — the kernel takes a bf16 corpus (same scores
         # as the f16 scan, which casts f16→bf16 pre-matmul anyway).
-        bf16_corpus = jax.jit(lambda c: c.astype(jnp.bfloat16))(rescore)
-        jax.block_until_ready(bf16_corpus)
+        if bf16_direct:
+            bf16_corpus = rescore
+        else:
+            bf16_corpus = jax.jit(lambda c: c.astype(jnp.bfloat16))(rescore)
+            jax.block_until_ready(bf16_corpus)
         for cfg in sorted(binmax_cfgs):
             tile = int(cfg.split("_t")[1]) if "_t" in cfg else 2048
             run(cfg, functools.partial(

@@ -585,15 +585,16 @@ def build_index(config, mesh=None) -> BaseNNIndexer:
     if kind in ("flat", "exact", "full"):
         return FlatIndex(config, mesh)
     if kind == "scann":
-        # measured-best approximate operating point: compressed (fp16) scan +
-        # hardware-binned top-k, recall@1000 ≈ 0.99 vs f16-exact at 45k QPS
-        # per 1.1M shard. The more literally ScaNN-shaped int8 two-stage
+        # measured-best approximate operating point: fused bin-max candidate
+        # scan (ops/mips_binmax.py) — 42.9k QPS per 1.1M shard @ recall@1000
+        # 0.9967 vs f32-exact. The more literally ScaNN-shaped int8 two-stage
         # (quantized scan + exact reorder) stays available via explicit
         # mips_quantization/mips_twostage config — its candidate gather is
         # 20x slower on TPU HBM.
         cfg = dict(config)
         cfg.setdefault("mips_quantization", "float16")
         cfg.setdefault("mips_approx_topk", True)
+        cfg.setdefault("mips_kernel", "binmax")
         return FlatIndex(cfg, mesh)
     if kind == "hnsw":
         from matchmaker_tpu.retrieval.hnsw import hnsw_available
