@@ -109,6 +109,7 @@ def binmax_candidates(
     per_bin: int = 2,
     tile_rows: int = 2048,
     interpret: Optional[bool] = None,
+    q_chunk: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bin top-``per_bin`` candidates over the whole corpus.
 
@@ -119,9 +120,15 @@ def binmax_candidates(
     and the production f16-scan already computes in bf16 (mips_f16.py casts
     f16→bf16 before its matmul), so scores are identical. An f16/f32 input is
     converted here — materializing a device copy per call; avoid in hot loops.
+
+    Query batches larger than ``q_chunk`` run as a ``lax.map`` over chunks —
+    the in-kernel (tile_rows, Q) score block and its temporaries live in
+    VMEM, which bounds Q per kernel launch (ColBERT's per-token searches
+    send batch*query_len rows at once).
     """
     q, dim = queries.shape
     n = corpus.shape[0]
+    q_chunk = max(128, q_chunk // 128 * 128)  # lane-axis multiple
     if corpus.dtype != jnp.bfloat16:
         corpus = corpus.astype(jnp.bfloat16)
     if n % tile_rows != 0:
@@ -143,24 +150,45 @@ def binmax_candidates(
     kernel = functools.partial(
         _binmax_kernel, tile_rows=tile_rows, n_valid=n_valid, per_bin=per_bin
     )
-    vals_t, ids_t = pl.pallas_call(
-        kernel,
-        grid=(n_pad // tile_rows,),
-        in_specs=[
-            pl.BlockSpec((q_pad, dim), lambda i: (0, 0)),
-            pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((nb_tile, q_pad), lambda i: (i, 0)),
-            pl.BlockSpec((nb_tile, q_pad), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_cands, q_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_cands, q_pad), jnp.int32),
-        ],
-        interpret=interpret,
-    )(qb, corpus)
-    return vals_t.T[:q], ids_t.T[:q]
+
+    def launch(q_block):  # (q_chunk_or_pad, D) bf16 → (q_block, n_cands) pair
+        qp = q_block.shape[0]
+        vals_t, ids_t = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile_rows,),
+            in_specs=[
+                pl.BlockSpec((qp, dim), lambda i: (0, 0)),
+                pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
+                pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_cands, qp), jnp.float32),
+                jax.ShapeDtypeStruct((n_cands, qp), jnp.int32),
+            ],
+            interpret=interpret,
+        )(q_block, corpus)
+        return vals_t.T, ids_t.T
+
+    if q_pad <= q_chunk:
+        vals, ids = launch(qb)
+        return vals[:q], ids[:q]
+
+    # chunk the query axis: VMEM holds (tile_rows, q_chunk) scores + temps
+    q_pad = -(-q // q_chunk) * q_chunk
+    if q_pad != qb.shape[0]:
+        qb = jnp.pad(qb, ((0, q_pad - qb.shape[0]), (0, 0)))
+    else:
+        qb = qb[:q_pad]
+    chunks = qb.reshape(q_pad // q_chunk, q_chunk, dim)
+
+    def body(q_block):
+        return launch(q_block)
+
+    vals, ids = jax.lax.map(body, chunks)
+    return vals.reshape(q_pad, n_cands)[:q], ids.reshape(q_pad, n_cands)[:q]
 
 
 def binmax_candidates_jnp(
@@ -233,7 +261,13 @@ def sharded_binmax_topk(
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mesh-sharded fused scan: per-chip kernel + one (Q, k·shards) ICI merge —
-    the same composition as ops/mips_f16.sharded_f16_scan_topk."""
+    the same composition as ops/mips_f16.sharded_f16_scan_topk.
+
+    Global tail padding (zero rows below ``n_valid``) is filtered after the
+    per-shard scan: the kernel's validity bound is a static compile-time
+    constant, identical across shards under SPMD, so the tail shard's padded
+    rows can displace at most ``per_bin`` candidates in the single bin where
+    real rows and padding mix — ≤2 of k=1000, bounded by construction."""
     if mesh is None or len(mesh.devices.flatten()) == 1:
         return binmax_scan_topk(queries, corpus, k, n_valid=n_valid, **kw)
 
@@ -261,7 +295,8 @@ def sharded_binmax_topk(
             pad = k - vals.shape[1]
             vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
             idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-        return vals, jnp.where(idx >= 0, idx + base, -1)
+        # -inf slots carry the -1 sentinel, never a real-looking global id
+        return vals, jnp.where(jnp.isfinite(vals) & (idx >= 0), idx + base, -1)
 
     part_vals, part_idx = per_shard(queries, corpus)
     vals, pos = jax.lax.top_k(part_vals, k)

@@ -79,9 +79,11 @@ def f16_scan_topk(
             qb, corpus.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if n_valid is not None and n_valid < n:
+        # n_valid may be a traced value (per-shard local validity)
+        if n_valid is not None and not (isinstance(n_valid, int) and n_valid >= n):
+            limit = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n)
             cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(cols < n_valid, scores, -jnp.inf)
+            scores = jnp.where(cols < limit, scores, -jnp.inf)
         v, i = block_topk(scores, k, aggregate=False)
         if v.shape[1] > k:  # un-aggregated binned candidates → one exact top-k
             v, pos = jax.lax.top_k(v, k)
@@ -103,7 +105,8 @@ def f16_scan_topk(
         )
         base = block_num * block_size
         row_ids = base + jnp.arange(block_size)
-        limit = n if n_valid is None else min(n, n_valid)
+        # n_valid may be traced (per-shard local validity)
+        limit = n if n_valid is None else jnp.minimum(jnp.asarray(n_valid, jnp.int32), n)
         scores = jnp.where(row_ids[None, :] < limit, scores, -jnp.inf)
         v, i = block_topk(scores, k_block, aggregate=False)
         return carry, (v, (base + i).astype(jnp.int32))
@@ -145,14 +148,17 @@ def sharded_f16_scan_topk(
     def per_shard(q, c_shard):
         shard_id = jax.lax.axis_index(axis)
         base = shard_id * shard_rows
-        vals, idx = f16_scan_topk(q, c_shard, k, index_offset=0, **kw)
-        # mask corpus-tail zero padding (global n_valid) per shard
-        vals = jnp.where(idx + base < n_valid, vals, -jnp.inf)
+        # local validity: rows of THIS shard at/above (n_valid - base) are
+        # global tail padding — masked BEFORE the per-shard top-k so zero
+        # rows can't displace real candidates inside the tail shard
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+        vals, idx = f16_scan_topk(q, c_shard, k, index_offset=0, n_valid=local_valid, **kw)
         if vals.shape[1] < k:
             pad = k - vals.shape[1]
             vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
             idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-        return vals, jnp.where(idx >= 0, idx + base, -1)
+        # -inf slots carry the -1 sentinel, never a real-looking global id
+        return vals, jnp.where(jnp.isfinite(vals) & (idx >= 0), idx + base, -1)
 
     part_vals, part_idx = per_shard(queries, corpus)
     vals, pos = jax.lax.top_k(part_vals, k)

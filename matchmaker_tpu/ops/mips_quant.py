@@ -73,7 +73,8 @@ def quantized_blocked_topk(
     carry in its storage buffer (their score 0 can land in a deep top-k)."""
     q, d = queries.shape
     n = values.shape[0]
-    limit = n if n_valid is None else min(n, int(n_valid))
+    # n_valid may be traced (per-shard local validity)
+    limit = n if n_valid is None else jnp.minimum(jnp.asarray(n_valid, jnp.int32), n)
     k = min(k, n)
     n_blocks = -(-n // block_size)
     # per-block top-k width can't exceed the block; the final merge over
@@ -165,11 +166,15 @@ def sharded_quantized_topk(
     )
     def per_shard(q, v_shard, s_shard):
         shard_id = jax.lax.axis_index(axis)
+        base = shard_id * shard_rows
+        # mask global tail padding BEFORE the per-shard top-k so zero rows
+        # can't displace real candidates inside the tail shard
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
         vals, idx = quantized_blocked_topk(
-            q, v_shard, s_shard, k, index_offset=shard_id * shard_rows, **kw
+            q, v_shard, s_shard, k, index_offset=base, n_valid=local_valid, **kw
         )
-        # global corpus-tail padding mask (idx is already globally offset)
-        return jnp.where(idx < n_valid, vals, -jnp.inf), idx
+        # -inf slots carry the -1 sentinel, never a real-looking global id
+        return vals, jnp.where(jnp.isfinite(vals), idx, -1)
 
     part_vals, part_idx = per_shard(queries, values, scales)
     vals, pos = jax.lax.top_k(part_vals, k)

@@ -44,13 +44,17 @@ def twostage_exact_topk(
     recall_target: float = 0.95,
     rescore_corpus: Optional[jnp.ndarray] = None,  # (N, D) f16/bf16/f32; None → int8 rescore
     index_offset: int = 0,
+    n_valid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact-rescored top-k; returns (Q, k) f32 scores + int32 ids."""
+    """Exact-rescored top-k; returns (Q, k) f32 scores + int32 ids.
+    ``n_valid`` masks zero-padded storage tails in the stage-1 scan (padded
+    rows score 0.0, which can displace real sub-zero candidates)."""
     n = values.shape[0]
     fetch = min(max(k * oversample, k), n)
     cand_vals, cand_idx = quantized_blocked_topk(
         queries, values, scales, fetch,
         block_size=block_size, approx=True, recall_target=recall_target,
+        n_valid=n_valid,
     )
     valid = jnp.isfinite(cand_vals)
     safe_idx = jnp.clip(cand_idx, 0, n - 1)
@@ -89,13 +93,17 @@ def sharded_twostage_topk(
     """Mesh-sharded two-stage search: both stages run per chip on its corpus
     shard; the (Q, k·shards) partials merge with one exact top-k (the merge
     rides the implicit all-gather over ICI)."""
+    n_valid = kw.pop("n_valid", None)
     if mesh is None or len(mesh.devices.flatten()) == 1:
         return twostage_exact_topk(
-            queries, values, scales, k, rescore_corpus=rescore_corpus, **kw
+            queries, values, scales, k, rescore_corpus=rescore_corpus,
+            n_valid=n_valid, **kw
         )
 
     n_shards = mesh.shape[axis]
     shard_rows = values.shape[0] // n_shards
+    if n_valid is None:
+        n_valid = values.shape[0]
     scale_spec = P() if jnp.ndim(scales) == 0 else P(axis)
     in_specs = [P(), P(axis, None), scale_spec]
     args = [queries, values, scales]
@@ -112,12 +120,15 @@ def sharded_twostage_topk(
     )
     def per_shard(q, v_shard, s_shard, *rest):
         shard_id = jax.lax.axis_index(axis)
+        base = shard_id * shard_rows
+        # mask global tail padding BEFORE the per-shard candidate top-k
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
         vals, idx = twostage_exact_topk(
             q, v_shard, s_shard, k,
             rescore_corpus=rest[0] if rest else None,
-            index_offset=0, **kw,
+            index_offset=0, n_valid=local_valid, **kw,
         )
-        idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
+        idx = jnp.where(jnp.isfinite(vals) & (idx >= 0), idx + base, -1)
         return vals, idx
 
     part_vals, part_idx = per_shard(*args)

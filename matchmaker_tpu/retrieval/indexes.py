@@ -114,8 +114,12 @@ class FlatIndex(BaseNNIndexer):
         vectors = self._vectors
         if self.mesh is not None:
             n_shards = int(np.prod(list(self.mesh.shape.values())))
-        # pad rows to a multiple of shards*block granularity
-        pad_to = n_shards * ((vectors.shape[0] + n_shards - 1) // n_shards)
+        # pad rows so every shard is a whole number of rows; the binmax
+        # kernel additionally needs each SHARD to be a tile_rows multiple —
+        # otherwise binmax_candidates re-pads the corpus inside every jitted
+        # search (a full HBM copy per call; a second 13.7 GB buffer at 8.9M)
+        grain = n_shards * (2048 if self.mips_kernel == "binmax" else 1)
+        pad_to = grain * ((vectors.shape[0] + grain - 1) // grain)
         self._row_count = vectors.shape[0]
         if pad_to != vectors.shape[0]:
             vectors = np.pad(vectors, ((0, pad_to - vectors.shape[0]), (0, 0)))
@@ -156,7 +160,7 @@ class FlatIndex(BaseNNIndexer):
                     return sharded_twostage_topk(
                         queries, values, scales, k, mesh=mesh, block_size=block,
                         oversample=oversample, recall_target=recall,
-                        rescore_corpus=rescore_corpus,
+                        rescore_corpus=rescore_corpus, n_valid=row_count,
                     )
                 return sharded_quantized_topk(
                     queries, values, scales, k, mesh=mesh, block_size=block,
@@ -184,7 +188,9 @@ class FlatIndex(BaseNNIndexer):
             def search_fn(queries, corpus, k):
                 n = corpus.shape[0]
                 # binmax candidate pool is n/128*per_bin wide; below ~2k the
-                # pool can't cover k → exact scan (tiny corpora are cheap)
+                # pool can't cover k → EXACT scan (tiny corpora are cheap, and
+                # this keeps the documented exact-fallback guarantee even when
+                # scann's config sets mips_approx_topk)
                 if use_binmax and n // 128 * 8 >= 2 * k:
                     from matchmaker_tpu.ops.mips_binmax import sharded_binmax_topk
 
@@ -197,7 +203,8 @@ class FlatIndex(BaseNNIndexer):
 
                 return sharded_f16_scan_topk(
                     queries, corpus, k, mesh=mesh, block_size=scan_block,
-                    approx=approx, recall_target=recall, n_valid=row_count,
+                    approx=False if use_binmax else approx, recall_target=recall,
+                    n_valid=row_count,
                 )
 
             self._search_fn = search_fn

@@ -274,3 +274,18 @@ def test_flat_index_binmax_kernel(eight_devices):
         _, got = index.search(q, 5)
         # self-retrieval: the query's own doc must be in the top-5
         assert "d3" in set(got[0]) and f"d{n-5}" in set(got[1]), (n, got)
+
+
+def test_binmax_query_chunking_matches_jnp():
+    """Q > q_chunk runs as lax.map over query chunks (VMEM-bounded — the
+    ColBERT per-token search path); candidates identical to the jnp path."""
+    from matchmaker_tpu.ops.mips_binmax import binmax_candidates, binmax_candidates_jnp
+
+    rng = np.random.default_rng(3)
+    n, d, q = 2048, 32, 300  # 300 queries, q_chunk=128 → 3 chunks
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
+    queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+    v1, i1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512, q_chunk=128)
+    v2, i2 = binmax_candidates_jnp(queries, corpus, tile_rows=512)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
