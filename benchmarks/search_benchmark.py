@@ -157,9 +157,16 @@ def exact_ground_truth(gen, queries, rows: int, block: int, k: int):
     return np.take_along_axis(idxs, order, axis=1)
 
 
-def timed_qps(fn, queries, corpus_args, iters: int, reps: int = 3):
+def timed_qps(fn, queries, corpus_args, iters: int, reps: int = 3,
+              dispatch_reps: int = 1):
     """Seed-chained timing (bench.py protocol): each dispatch's input depends
     on the previous output scalar; one final fetch bounds the chain.
+
+    ``dispatch_reps`` runs N scans inside ONE dispatch (fori_loop): the
+    tunnel's ~2-3 ms per-dispatch overhead dominates short scans (a 1.11M
+    binmax scan is ~3.3 ms on-device but ~5.6 ms per solo dispatch), so
+    this measures saturated device throughput — what a served query stream
+    sees — vs the dispatch-bound floor at dispatch_reps=1.
 
     The corpus arrays MUST flow through as jit arguments — a closure would
     embed gigabytes as jaxpr constants and the remote-compile payload breaks
@@ -167,8 +174,12 @@ def timed_qps(fn, queries, corpus_args, iters: int, reps: int = 3):
 
     @jax.jit
     def step(q, seed, *corpus):
-        vals, _ = fn(q + seed * 1e-12, *corpus)
-        return vals[:, 0].sum()
+        def body(_, s):
+            vals, _ = fn(q + s * 1e-12, *corpus)
+            return vals[:, 0].sum()
+        if dispatch_reps == 1:
+            return body(0, seed)
+        return jax.lax.fori_loop(0, dispatch_reps, body, seed)
 
     seed = step(queries, jnp.float32(0.0), *corpus_args)  # compile + warm
     _ = float(seed)
@@ -180,7 +191,7 @@ def timed_qps(fn, queries, corpus_args, iters: int, reps: int = 3):
         s = float(seed)
         t1 = time.perf_counter()
         best = min(best, (t1 - t0) / iters)
-    return queries.shape[0] / best, s
+    return queries.shape[0] * dispatch_reps / best, s
 
 
 def recall_at(pred_ids: np.ndarray, true_ids: np.ndarray, k: int) -> float:
@@ -198,6 +209,9 @@ def main():
     ap.add_argument("--block", type=int, default=131072)
     ap.add_argument("--oversample", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dispatch-reps", type=int, default=1,
+                    help="scans per dispatch: >1 measures saturated device "
+                         "throughput (amortizes ~2-3ms tunnel dispatch cost)")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument(
         "--configs", default="approx_int8,f16scan",
@@ -249,7 +263,8 @@ def main():
             print(f"[search-bench] faiss-fp16 parity line: {results['f16exact_vs_f32exact']}")
 
     def run(name, fn, corpus_args):
-        qps, _ = timed_qps(fn, queries, corpus_args, args.iters)
+        qps, _ = timed_qps(fn, queries, corpus_args, args.iters,
+                           dispatch_reps=args.dispatch_reps)
         _, ids = jax.jit(fn)(queries, *corpus_args)
         ids = np.asarray(ids)
         entry = {"qps": round(qps, 1)}
