@@ -16,12 +16,14 @@ masked via n_valid — round 1 left the build buffer's zero rows unmasked,
 which polluted every deep-top-k recall line; score 0.0 beats the real
 rank-1000 hits on this corpus):
   1.113M rows (one v5e-8 shard of MS MARCO):
-    binmax (fused Pallas)  42.9k QPS @ recall@1000 0.9967 vs f32 / 0.998 vs f16-exact
-    f16scan_full           37.3k QPS @ 0.9863 vs f32  (45.1k in a quiet-tunnel run)
-    f16scan blk=557056     17.8k QPS @ 0.9928 vs f32
-    approx_int8            15.7k QPS @ 0.9124 vs f32  (strictly dominated by binmax)
-  8.9M rows single chip (13.7 GB f16 in HBM): f16scan 8,774 QPS @
-    recall@1000 0.9981 vs f16-exact.
+    binmax (fused Pallas)  30.5k QPS @ recall@1000 0.9967 vs f32 / 0.998 vs f16-exact
+    f16scan_full           15.0k QPS @ 0.9863 vs f32
+    f16scan blk=557056      4.4k QPS @ 0.9928 vs f32
+    approx_int8             5.0k QPS @ 0.9124 vs f32  (strictly dominated by binmax)
+  8.9M rows single chip (13.7 GB bf16 in HBM): binmax + level-2 tournament
+    10,400 QPS @ recall@1000 0.9953 vs f32-exact.
+  All figures consume values AND ids in full (timed_qps docstring: XLA
+    narrows top_k to the consumed columns, values-only timings overstate).
   The f16-exact ranking overlaps f32-exact at 0.998@1000 — fp16 storage
     rounding costs ~0.2% (the round-1 "0.9447 parity line" was the padding
     artifact above, not storage rounding).
@@ -175,8 +177,11 @@ def timed_qps(fn, queries, corpus_args, iters: int, reps: int = 3,
     @jax.jit
     def step(q, seed, *corpus):
         def body(_, s):
-            vals, _ = fn(q + s * 1e-12, *corpus)
-            return vals[:, 0].sum()
+            # consume BOTH outputs in full: XLA narrows top_k to k'=1 when
+            # only column 0 of one output is used, silently dropping ~all of
+            # the selection work from the measurement
+            vals, ids = fn(q + s * 1e-12, *corpus)
+            return vals.sum() + (ids.sum() % 2).astype(vals.dtype)
         if dispatch_reps == 1:
             return body(0, seed)
         return jax.lax.fori_loop(0, dispatch_reps, body, seed)

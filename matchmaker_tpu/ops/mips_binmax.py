@@ -1,41 +1,56 @@
-"""Fused MIPS scan: Pallas matmul + per-bin top-2 candidates, top-k outside.
+"""Fused MIPS scan: Pallas matmul + bin-max tournament, gather-free ids.
 
-Motivation (measured, see benchmarks/search_benchmark.py): the production
-f16 scan (ops/mips_f16.py) is HBM-bound at MS MARCO shard sizes — the
-(Q, N) f32 score matrix (1.1 GB at Q=256, N=1.11M) round-trips HBM between
-the XLA matmul and ``approx_max_k``. This kernel fuses the reduction into the
-matmul's epilogue so scores never leave VMEM: the grid walks corpus tiles,
-each cell computes one (T, D)x(D, Q) MXU matmul (transposed — bins live on
-the sublane axis, queries on lanes, so every reduction/reshape is
-major-axis-only, which Mosaic supports) and reduces every 128-row bin to its
-top-2 (value, index) candidates in-register. Candidate output is N/64 entries
-per query (16x smaller than the scores), and one final exact ``lax.top_k``
-over the candidates produces the result.
+The production approximate search engine (FlatIndex ``mips_kernel: binmax``).
+Design, driven by measured XLA TPU lowering hazards (each verified by HLO
+inspection / on-chip A-B tests; see benchmarks/search_benchmark.py):
 
-Recall model: a true top-k doc is lost only when ≥3 of the true top-k land
-in the same 128-wide bin (the per-bin top-2 keeps pairs). For k=1000 over
-1.11M rows (8.7k bins) the expected loss is <0.3%.
+1. **Fused candidate kernel.** The XLA f16 scan (ops/mips_f16.py) round-trips
+   the (Q, N) f32 score matrix through HBM (1.1 GB at Q=256, N=1.11M). Here
+   the grid walks corpus tiles; each cell computes one (T, D)x(D, Q) MXU
+   matmul (transposed: bins on sublanes, queries on lanes — every
+   reduction/reshape is major-axis-only, which Mosaic supports) and reduces
+   every 128-row bin to its top-2 in-register. Scores never leave VMEM; the
+   candidate array is 64x smaller than the scores.
 
-MEASURED (v5e, clustered normalized 768-dim corpus, Q=256, k=1000, 1.113M
-rows — benchmarks/search_benchmark.py 'binmax' config):
-    42,852 QPS @ recall@1000 0.9967 vs f32-exact / 0.998 vs f16-exact
-    vs f16scan_full (XLA + approx_max_k): 37,265 QPS @ 0.9863 — this kernel
-    wins both axes and is FlatIndex's preferred approximate engine
-    (``mips_kernel: binmax``). Component times at that shape: candidates
-    5.9 ms, final top_k 4.8 ms (partially overlapped → 7.7 ms/scan).
-When bins/k is small the collision loss grows (0.90 recall@1000 at 131k
-rows) — FlatIndex raises per_bin up to 8 and falls back to the exact scan
-for corpora too small to cover k (retrieval/indexes.py).
+2. **Mantissa-packed ids — no id array, no gathers.**
+   ``take_along_axis`` over wide arrays costs ~0.53 ms per 1000 columns of
+   row width (74 ms at 8.9M). Instead, each candidate's 7-bit within-bin
+   lane offset is packed into the LOW MANTISSA BITS of its f32 value
+   (scores are bf16-derived, so ≤2^-17 relative twiddle is sub-noise), and
+   the (tile, bin) part of the id is reconstructed ARITHMETICALLY from the
+   candidate's column position. Bit packing/unpacking happens ONLY inside
+   Pallas kernels: XLA's excess-precision fusion recompute does not preserve
+   exact float bit patterns, which corrupts packed lanes in plain-jnp
+   pipelines on TPU (the jnp reference here is bit-exact on CPU only — on
+   TPU always use the pallas path, the default).
 
-Role: candidate generation for FlatIndex's approximate mode — the same
-contract as ``approx_max_k(aggregate_to_topk=False)`` + exact merge, but
-without materializing scores in HBM. Replaces the reference's faiss
-IndexFlatIP scan (faiss_indices.py:49-74) at the same exactness class as
-its fp16 storage.
+3. **Tournament level 2 — taming the final sort.** ``lax.top_k`` at k≈1000
+   lowers to a FULL STABLE SORT on TPU (~0.5 µs/element: 70 ms over the
+   8.9M corpus's 139k candidates), and ``approx_max_k`` refuses to narrow
+   at that k/width ratio (returns its input unreduced). When the pool
+   oversamples k by ≥128x, a second bin-max level keeps the top-8 of every
+   128 candidates (packing its lane at mantissa bits [7, 14)), cutting the
+   sort width 16x. Benchmarks must consume BOTH outputs in full — XLA
+   silently narrows top_k to the consumed columns (k'=1 when only column 0
+   is read), which voids naive measurements.
 
-Candidate layout (both implementations, asserted identical in tests): per
-corpus tile of T rows, the first T/128 output rows are the rank-0 (bin max)
-candidates, the next T/128 rows the rank-1 (second max), each shaped (., Q).
+Recall model: level 1 loses a true top-k doc only when ≥3 of the top-k land
+in one 128-row bin (<0.3% for k=1000 over 1.11M rows); level 2 (gated on
+pool ≥ 128·k) only when ≥9 land in one 128-candidate group (negligible).
+Verified on-chip vs f32-exact ground truth; honest measured numbers live in
+benchmarks/search_benchmark.py and PARITY.md.
+
+When bins/k is small the level-1 collision loss grows (0.90 recall@1000 at
+131k rows) — FlatIndex raises per_bin up to 8 and falls back to the exact
+scan for corpora too small to cover k (retrieval/indexes.py).
+
+Role: candidate generation for FlatIndex's approximate mode — replaces the
+reference's faiss IndexFlatIP scan (faiss_indices.py:49-74) at the same
+exactness class as its fp16 storage.
+
+Candidate layout (asserted identical between pallas and jnp reference in
+tests): per corpus tile of T rows, the first T/128 output rows are the
+rank-0 (bin max) candidates, the next T/128 rows the rank-1, each (., Q).
 """
 
 from __future__ import annotations
@@ -49,6 +64,8 @@ from jax.experimental import pallas as pl
 from jax.sharding import Mesh, PartitionSpec as P
 
 BIN_WIDTH = 128  # bin = one sublane group of corpus rows
+LANE_BITS = 7  # log2(BIN_WIDTH): within-bin offset packed into the mantissa
+LANE_MASK = BIN_WIDTH - 1
 
 
 def _on_tpu() -> bool:
@@ -58,37 +75,150 @@ def _on_tpu() -> bool:
         return False
 
 
-def _topk_per_bin_t(scores_t: jnp.ndarray, base, n_valid: int, per_bin: int):
-    """scores_t (T, Q) f32 → candidate (vals, ids), each (T//128*per_bin, Q).
+def _pack_lane(vals: jnp.ndarray, lane: jnp.ndarray, shift: int = 0) -> jnp.ndarray:
+    """Pack a [0, 128) lane offset into mantissa bits [shift, shift+7) of f32.
 
-    Shared by the kernel body and the jnp reference — pure jnp and
-    layout-friendly: reductions run over the sublane axis, the lane axis (Q)
-    is untouched. First-argmax emulation (min over matching row offsets)
-    keeps tie behavior identical to jnp.argmax.
-    """
+    Only finite values are packed (twiddling -inf's mantissa makes a NaN);
+    level 1 uses shift=0 (≤2^-17 relative perturbation), the level-2
+    tournament shift=7 (≤2^-10 — still under the ~2^-8 bf16 input noise)."""
+    bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+    packed = (bits & ~(LANE_MASK << shift)) | (lane << shift)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    return jnp.where(jnp.isfinite(vals), packed, vals)
+
+
+def unpack_candidates(
+    packed_vals: jnp.ndarray,  # (Q, k) f32, selected candidates
+    positions: jnp.ndarray,  # (Q, k) int32, their columns in the candidate array
+    tile_rows: int,
+    per_bin: int,
+    level2: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(values, corpus row ids) from packed candidates — pure elementwise.
+
+    Level 1: column c of the candidate array maps to tile c//(per_bin·nb)
+    and bin (c mod nb) with nb = tile_rows/128 (rank-major within a tile);
+    the lane offset lives in the value's low 7 mantissa bits. With
+    ``level2``, ``positions`` index the 16x-reduced array: they decode to a
+    level-1 raw row via the level-2 layout + the lane packed at bits
+    [7, 14), which then decodes as level 1."""
+    nb = tile_rows // BIN_WIDTH
+    bits = jax.lax.bitcast_convert_type(packed_vals, jnp.int32)
+    lane1 = bits & LANE_MASK
+    clear = LANE_MASK | (LANE_MASK << LANE_BITS) if level2 else LANE_MASK
+    vals = jax.lax.bitcast_convert_type(bits & ~clear, jnp.float32)
+    finite = jnp.isfinite(packed_vals)
+    vals = jnp.where(finite, vals, packed_vals)
+    if level2:
+        lane2 = (bits >> LANE_BITS) & LANE_MASK
+        nb2 = _L2_BLOCK // BIN_WIDTH  # 8 bins per level-2 grid block
+        out_rows = nb2 * LEVEL2_PER_BIN  # 64 rows per block, rank-major
+        blk = positions // out_rows
+        bin2 = positions % nb2
+        rc = blk * _L2_BLOCK + bin2 * BIN_WIDTH + lane2  # level-1 raw row
+    else:
+        rc = positions
+    tile = rc // (per_bin * nb)
+    bin_ = rc % nb
+    ids = tile * tile_rows + bin_ * BIN_WIDTH + lane1
+    return vals, jnp.where(finite, ids, -1).astype(jnp.int32)
+
+
+def _unpack_kernel(tv_ref, pos_ref, val_ref, id_ref, *, tile_rows, per_bin, level2):
+    vals, ids = unpack_candidates(tv_ref[...], pos_ref[...], tile_rows, per_bin, level2)
+    val_ref[...] = vals
+    id_ref[...] = ids
+
+
+def unpack_candidates_pallas(
+    packed_vals: jnp.ndarray,
+    positions: jnp.ndarray,
+    tile_rows: int,
+    per_bin: int,
+    interpret: Optional[bool] = None,
+    level2: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`unpack_candidates` inside a Pallas kernel.
+
+    NOT an optimization of the unpack itself (it's elementwise either way) —
+    a workaround for an XLA TPU lowering hazard: when a ``bitcast_convert``
+    consumes data derived from ``lax.top_k``'s output, XLA abandons the fast
+    TopK custom-call and lowers top_k as a FULL STABLE SORT of the wide
+    candidate array (~70 ms at 8.9M vs ~0.3 ms for TopK; verified by HLO
+    inspection). The pallas_call is an opaque custom-call boundary, so the
+    bitcasts inside are invisible to that pattern-match."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    q, k = packed_vals.shape
+    q_pad = -(-q // 8) * 8
+    if q_pad != q:
+        packed_vals = jnp.pad(packed_vals, ((0, q_pad - q), (0, 0)))
+        positions = jnp.pad(positions, ((0, q_pad - q), (0, 0)))
+    rows = min(q_pad, 512)  # grid over query blocks; (rows, k) blocks in VMEM
+    while q_pad % rows:
+        rows //= 2
+    kernel = functools.partial(
+        _unpack_kernel, tile_rows=tile_rows, per_bin=per_bin, level2=level2
+    )
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid=(q_pad // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((rows, k), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((rows, k), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(packed_vals, positions)
+    return vals[:q], ids[:q]
+
+
+def _topk_per_bin_t(scores_t: jnp.ndarray, base, n_valid: int, per_bin: int,
+                    lane_shift: int = 0, use_argmax: bool = False):
+    """scores_t (T, Q) f32 → packed candidates (T//128*per_bin, Q).
+
+    Shared by the kernel body (``use_argmax=False``: first-argmax emulated
+    as min-over-matching-offsets — inside one Mosaic kernel the equality
+    compares the very registers that produced the max, so it is internally
+    consistent, and it avoids relying on argmax lowering) and the jnp
+    reference (``use_argmax=True``: XLA-TPU fusions may RECOMPUTE the max
+    with different precision on each use, which silently breaks exact
+    equality against it — jnp.argmax keeps index and mask self-consistent).
+    Reductions run over the sublane axis, the lane axis (Q) is untouched;
+    the within-bin offset is mantissa-packed at ``lane_shift``."""
     t, q = scores_t.shape
     nb = t // BIN_WIDTH
-    row = jax.lax.broadcasted_iota(jnp.int32, (t, q), 0)
-    scores_t = jnp.where(base + row < n_valid, scores_t, -jnp.inf)
+    # skip the validity mask only when statically known fully-valid
+    if not (isinstance(base, int) and base + t <= n_valid):
+        row = jax.lax.broadcasted_iota(jnp.int32, (t, q), 0)
+        scores_t = jnp.where(base + row < n_valid, scores_t, -jnp.inf)
     s3 = scores_t.reshape(nb, BIN_WIDTH, q)
     off = jax.lax.broadcasted_iota(jnp.int32, (nb, BIN_WIDTH, q), 1)
-    bin_base = base + jax.lax.broadcasted_iota(jnp.int32, (nb, q), 0) * BIN_WIDTH
 
-    vals, ids = [], []
+    packed = []
     cur = s3
     for r in range(per_bin):
         m = cur.max(axis=1)
-        # first row offset achieving the max (ties → lowest, like argmax)
-        idx = jnp.min(jnp.where(cur == m[:, None, :], off, BIN_WIDTH), axis=1)
-        idx = jnp.minimum(idx, BIN_WIDTH - 1)  # all--inf bin → masked by -inf val
-        vals.append(m)
-        ids.append(bin_base + idx)
+        if use_argmax:
+            idx = jnp.argmax(cur, axis=1).astype(jnp.int32)
+        else:
+            # first row offset achieving the max (ties → lowest, like argmax)
+            idx = jnp.min(jnp.where(cur == m[:, None, :], off, BIN_WIDTH), axis=1)
+            idx = jnp.minimum(idx, BIN_WIDTH - 1)  # all--inf bin → masked by -inf
+        packed.append(_pack_lane(m, idx, lane_shift))
         if r + 1 < per_bin:
             cur = jnp.where(off == idx[:, None, :], -jnp.inf, cur)
-    return jnp.concatenate(vals, axis=0), jnp.concatenate(ids, axis=0)
+    return jnp.concatenate(packed, axis=0)
 
 
-def _binmax_kernel(q_ref, c_ref, val_ref, idx_ref, *, tile_rows, n_valid, per_bin):
+def _binmax_kernel(q_ref, c_ref, val_ref, *, tile_rows, n_valid, per_bin):
     i = pl.program_id(0)
     # transposed matmul: (T, D)·(D, Q) → (T, Q); bins on sublanes, Q on lanes
     scores_t = jax.lax.dot_general(
@@ -97,9 +227,70 @@ def _binmax_kernel(q_ref, c_ref, val_ref, idx_ref, *, tile_rows, n_valid, per_bi
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    vals, ids = _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
-    val_ref[...] = vals
-    idx_ref[...] = ids.astype(jnp.int32)
+    val_ref[...] = _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
+
+
+def _transpose_kernel(in_ref, out_ref):
+    out_ref[...] = in_ref[...].T
+
+
+LEVEL2_PER_BIN = 8  # keep-8 per 128 level-1 candidates (16x reduction)
+_L2_BLOCK = 1024
+
+
+def _level2_kernel(in_ref, out_ref):
+    out_ref[...] = _topk_per_bin_t(
+        in_ref[...], 0, in_ref.shape[0], LEVEL2_PER_BIN, lane_shift=LANE_BITS
+    )
+
+
+def _level2_reduce(packed_t: jnp.ndarray, interpret: bool, use_pallas: bool) -> jnp.ndarray:
+    """Tournament level 2 over the raw (C, Q) candidate array.
+
+    Every 128 level-1 candidates reduce to their top-8, the within-group
+    offset mantissa-packed at bits [7, 14) — a 16x cut of the final sort
+    width (lax.top_k is a full sort on TPU, ~0.5 µs/element). Applied when
+    the candidate count is large enough that the keep-8 collision loss is
+    negligible (FlatIndex gates on C ≥ 128·k)."""
+    c, q = packed_t.shape
+    if c % _L2_BLOCK:
+        pad = _L2_BLOCK - c % _L2_BLOCK
+        packed_t = jnp.pad(packed_t, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+        c = packed_t.shape[0]
+    if not use_pallas:
+        out = _topk_per_bin_t(packed_t, 0, c, LEVEL2_PER_BIN, lane_shift=LANE_BITS,
+                              use_argmax=True)
+    else:
+        out_rows = _L2_BLOCK // BIN_WIDTH * LEVEL2_PER_BIN
+        out = pl.pallas_call(
+            _level2_kernel,
+            grid=(c // _L2_BLOCK,),
+            in_specs=[pl.BlockSpec((_L2_BLOCK, q), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((out_rows, q), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((c // BIN_WIDTH * LEVEL2_PER_BIN, q), jnp.float32),
+            interpret=interpret,
+        )(packed_t)
+    if out.shape[0] % 128:  # transpose pass needs 128-multiples; pad columns
+        out = jnp.pad(out, ((0, 128 - out.shape[0] % 128), (0, 0)),
+                      constant_values=-jnp.inf)
+    return out
+
+
+def _pallas_transpose(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """(C, Q) → physical (Q, C), C % 128 == 0.
+
+    XLA's own transpose of this array is catastrophically slow (~0.5 µs per
+    element when a custom-call operand forces materialization), so the
+    candidate array is transposed by a trivial Pallas pass instead."""
+    c, q = x.shape
+    return pl.pallas_call(
+        _transpose_kernel,
+        grid=(c // 128,),
+        in_specs=[pl.BlockSpec((128, q), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((q, 128), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((q, c), x.dtype),
+        interpret=interpret,
+    )(x)
 
 
 def binmax_candidates(
@@ -110,11 +301,14 @@ def binmax_candidates(
     tile_rows: int = 2048,
     interpret: Optional[bool] = None,
     q_chunk: int = 256,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-bin top-``per_bin`` candidates over the whole corpus.
+    level2: bool = False,
+) -> jnp.ndarray:
+    """Per-bin top-``per_bin`` packed candidates over the whole corpus.
 
-    Returns (vals, ids) of shape (Q, N//128*per_bin) in the tile-major,
-    rank-blocked layout described in the module docstring.
+    Returns (Q, N//128*per_bin) f32 in the tile-major, rank-blocked layout
+    described in the module docstring, lane offsets mantissa-packed
+    (decode with :func:`unpack_candidates`). ``level2`` applies the
+    16x tournament reduction (see :func:`_level2_reduce`).
 
     The corpus should be stored **bf16** on device: Mosaic has no f16 type,
     and the production f16-scan already computes in bf16 (mips_f16.py casts
@@ -131,9 +325,14 @@ def binmax_candidates(
     q_chunk = max(128, q_chunk // 128 * 128)  # lane-axis multiple
     if corpus.dtype != jnp.bfloat16:
         corpus = corpus.astype(jnp.bfloat16)
-    if n % tile_rows != 0:
-        pad = tile_rows - n % tile_rows
-        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    # rows must give a 128-multiple candidate count (the transpose pass works
+    # on 128-column blocks): pad to lcm(tile_rows, 128·128/per_bin) — callers
+    # in hot loops (FlatIndex) pre-pad so this is a no-op there
+    grain = tile_rows
+    while (grain // BIN_WIDTH) * per_bin % 128:
+        grain *= 2
+    if n % grain != 0:
+        corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
     if n_valid is None:
         n_valid = n
     n_pad = corpus.shape[0]
@@ -151,44 +350,33 @@ def binmax_candidates(
         _binmax_kernel, tile_rows=tile_rows, n_valid=n_valid, per_bin=per_bin
     )
 
-    def launch(q_block):  # (q_chunk_or_pad, D) bf16 → (q_block, n_cands) pair
+    def launch(q_block):  # (q_chunk_or_pad, D) bf16 → PHYSICAL (q_block, width)
         qp = q_block.shape[0]
-        vals_t, ids_t = pl.pallas_call(
+        vals_t = pl.pallas_call(
             kernel,
             grid=(n_pad // tile_rows,),
             in_specs=[
                 pl.BlockSpec((qp, dim), lambda i: (0, 0)),
                 pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
-                pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_cands, qp), jnp.float32),
-                jax.ShapeDtypeStruct((n_cands, qp), jnp.int32),
-            ],
+            out_specs=pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_cands, qp), jnp.float32),
             interpret=interpret,
         )(q_block, corpus)
-        return vals_t.T, ids_t.T
+        if level2:
+            vals_t = _level2_reduce(vals_t, interpret, use_pallas=True)
+        return _pallas_transpose(vals_t, interpret)
 
     if q_pad <= q_chunk:
-        vals, ids = launch(qb)
-        return vals[:q], ids[:q]
+        return launch(qb)[:q]
 
     # chunk the query axis: VMEM holds (tile_rows, q_chunk) scores + temps
     q_pad = -(-q // q_chunk) * q_chunk
     if q_pad != qb.shape[0]:
         qb = jnp.pad(qb, ((0, q_pad - qb.shape[0]), (0, 0)))
-    else:
-        qb = qb[:q_pad]
     chunks = qb.reshape(q_pad // q_chunk, q_chunk, dim)
-
-    def body(q_block):
-        return launch(q_block)
-
-    vals, ids = jax.lax.map(body, chunks)
-    return vals.reshape(q_pad, n_cands)[:q], ids.reshape(q_pad, n_cands)[:q]
+    vals = jax.lax.map(launch, chunks)
+    return vals.reshape(q_pad, vals.shape[-1])[:q]
 
 
 def binmax_candidates_jnp(
@@ -197,13 +385,17 @@ def binmax_candidates_jnp(
     n_valid: Optional[int] = None,
     per_bin: int = 2,
     tile_rows: int = 2048,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    level2: bool = False,
+) -> jnp.ndarray:
     """Reference implementation: identical math and candidate layout, plain
     XLA (tests + CPU fallback)."""
     q, dim = queries.shape
     n = corpus.shape[0]
-    if n % tile_rows != 0:
-        corpus = jnp.pad(corpus, ((0, tile_rows - n % tile_rows), (0, 0)))
+    grain = tile_rows  # same padding rule as the pallas path
+    while (grain // BIN_WIDTH) * per_bin % 128:
+        grain *= 2
+    if n % grain != 0:
+        corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
     if n_valid is None:
         n_valid = n
     qb = queries.astype(jnp.bfloat16)
@@ -215,13 +407,15 @@ def binmax_candidates_jnp(
             blk.astype(jnp.bfloat16), qb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return None, _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
+        return None, _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin,
+                                     use_argmax=True)
 
-    _, (vals, ids) = jax.lax.scan(body, None, (blocks, jnp.arange(blocks.shape[0])))
+    _, vals = jax.lax.scan(body, None, (blocks, jnp.arange(blocks.shape[0])))
     # (n_tiles, nb_tile, Q) → (Q, n_tiles*nb_tile), tile-major like the kernel
-    vals = vals.reshape(-1, q).T
-    ids = ids.reshape(-1, q).T
-    return vals, ids.astype(jnp.int32)
+    raw = vals.reshape(-1, q)
+    if level2:
+        raw = _level2_reduce(raw, interpret=False, use_pallas=False)
+    return raw.T
 
 
 def binmax_scan_topk(
@@ -235,20 +429,41 @@ def binmax_scan_topk(
     use_pallas: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-k over an f16 corpus: fused candidate scan + one exact top-k.
+    """Top-k over an f16/bf16 corpus: fused candidate scan + one exact top-k.
 
     Drop-in for :func:`ops.mips_f16.f16_scan_topk` (approx mode); same
     (values, int32 ids) contract, ids offset by ``index_offset`` for sharding.
+    Id extraction is gather-free (mantissa packing, see module docstring).
     """
     if use_pallas is None:
         use_pallas = _on_tpu() or bool(interpret)
     fn = binmax_candidates if use_pallas else binmax_candidates_jnp
     kw = {"interpret": interpret} if use_pallas else {}
-    vals, ids = fn(queries, corpus, n_valid=n_valid, per_bin=per_bin, tile_rows=tile_rows, **kw)
-    k_eff = min(k, vals.shape[1])
-    top_vals, pos = jax.lax.top_k(vals, k_eff)
-    top_ids = jnp.take_along_axis(ids, pos, axis=1)
-    return top_vals, (top_ids + index_offset).astype(jnp.int32)
+
+    # Final-selection economics: lax.top_k at k~1000 lowers to a FULL STABLE
+    # SORT on TPU (~0.5 µs/element — 70 ms over the 8.9M corpus's 139k
+    # candidates; approx_max_k can't narrow at this k/width ratio, it
+    # returns its input unreduced). When the candidate pool is wide enough
+    # that keep-8-per-128 loses nothing (C ≥ 128·k → the reduced pool still
+    # oversamples k by ≥8x), a second bin-max tournament level cuts the sort
+    # width 16x, packing its lane at mantissa bits [7, 14).
+    grain = tile_rows
+    while (grain // BIN_WIDTH) * per_bin % 128:
+        grain *= 2
+    n_cands = (-(-corpus.shape[0] // grain) * grain) // BIN_WIDTH * per_bin
+    level2 = n_cands >= 128 * k
+    packed = fn(queries, corpus, n_valid=n_valid, per_bin=per_bin, tile_rows=tile_rows,
+                level2=level2, **kw)
+    k_eff = min(k, packed.shape[1])
+    top_packed, pos = jax.lax.top_k(packed, k_eff)
+    if use_pallas:
+        # kernel-wrapped unpack: a raw bitcast consumer of top_k output can
+        # trigger further lowering hazards (see unpack_candidates_pallas)
+        vals, ids = unpack_candidates_pallas(top_packed, pos, tile_rows, per_bin,
+                                             interpret=interpret, level2=level2)
+    else:
+        vals, ids = unpack_candidates(top_packed, pos, tile_rows, per_bin, level2=level2)
+    return vals, jnp.where(ids >= 0, ids + index_offset, -1).astype(jnp.int32)
 
 
 def sharded_binmax_topk(

@@ -115,10 +115,12 @@ class FlatIndex(BaseNNIndexer):
         if self.mesh is not None:
             n_shards = int(np.prod(list(self.mesh.shape.values())))
         # pad rows so every shard is a whole number of rows; the binmax
-        # kernel additionally needs each SHARD to be a tile_rows multiple —
-        # otherwise binmax_candidates re-pads the corpus inside every jitted
-        # search (a full HBM copy per call; a second 13.7 GB buffer at 8.9M)
-        grain = n_shards * (2048 if self.mips_kernel == "binmax" else 1)
+        # kernel additionally needs each SHARD to be a multiple of its
+        # padding grain (8192 covers per_bin 2..8: the candidate count per
+        # grain must be a 128-multiple for the transpose pass) — otherwise
+        # binmax_candidates re-pads the corpus inside every jitted search
+        # (a full HBM copy per call; a second 13.7 GB buffer at 8.9M)
+        grain = n_shards * (8192 if self.mips_kernel == "binmax" else 1)
         pad_to = grain * ((vectors.shape[0] + grain - 1) // grain)
         self._row_count = vectors.shape[0]
         if pad_to != vectors.shape[0]:
@@ -593,8 +595,8 @@ def build_index(config, mesh=None) -> BaseNNIndexer:
         return FlatIndex(config, mesh)
     if kind == "scann":
         # measured-best approximate operating point: fused bin-max candidate
-        # scan (ops/mips_binmax.py) — 42.9k QPS per 1.1M shard @ recall@1000
-        # 0.9967 vs f32-exact. The more literally ScaNN-shaped int8 two-stage
+        # scan (ops/mips_binmax.py) — 30.5k QPS per 1.1M shard @ recall@1000
+        # 0.9967 vs f32-exact, 2x the XLA scan. The more literally ScaNN-shaped int8 two-stage
         # (quantized scan + exact reorder) stays available via explicit
         # mips_quantization/mips_twostage config — its candidate gather is
         # 20x slower on TPU HBM.

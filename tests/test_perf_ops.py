@@ -182,12 +182,14 @@ def test_topk_k_larger_than_block_size(rng):
 
 
 def test_binmax_pallas_matches_jnp():
-    """Fused bin-max candidate kernel (interpret mode) is bit-identical to the
-    jnp reference, and top-k over the candidates nearly matches exact."""
+    """Fused bin-max candidate kernel (interpret mode) vs the jnp reference:
+    identical packed lane bits, values within 1 ULP; top-k over the
+    candidates nearly matches exact."""
     from matchmaker_tpu.ops.mips_binmax import (
         binmax_candidates,
         binmax_candidates_jnp,
         binmax_scan_topk,
+        unpack_candidates,
     )
 
     rng = np.random.default_rng(7)  # own rng: session rng state depends on test order
@@ -195,16 +197,25 @@ def test_binmax_pallas_matches_jnp():
     corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
     queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
 
-    v1, i1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512)
-    v2, i2 = binmax_candidates_jnp(queries, corpus, tile_rows=512)
+    p1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512)
+    p2 = binmax_candidates_jnp(queries, corpus, tile_rows=512)
+    cols = jnp.broadcast_to(jnp.arange(p1.shape[1]), p1.shape)
+    v1, i1 = map(np.asarray, unpack_candidates(p1, cols, 512, 2))
+    v2, i2 = map(np.asarray, unpack_candidates(p2, cols, 512, 2))
     # ids exactly equal; values may differ by 1 ULP (matmul association in
     # interpret mode vs XLA scan)
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
 
     # ids in range, padding rows never returned with finite score
-    finite = np.isfinite(np.asarray(v1))
-    assert np.asarray(i1)[finite].max() < n
+    finite = np.isfinite(v1)
+    assert i1[finite].max() < n
+    # unpacked values track the true f32 scores within bf16-input noise
+    # (the mantissa packing itself only perturbs by <= 2^-17 relative)
+    true = np.asarray(queries) @ np.asarray(corpus, np.float32).T
+    sel = i1[finite]
+    qi = np.broadcast_to(np.arange(q)[:, None], i1.shape)[finite]
+    np.testing.assert_allclose(v1[finite], true[qi, sel], rtol=2e-2)
 
     # candidate top-k ≈ exact top-k when bins >> k (24 bins x2 candidates;
     # k=8 over 24 bins loses a doc only on a ≥3-collision — allow 2 slips)
@@ -217,16 +228,22 @@ def test_binmax_pallas_matches_jnp():
 
 def test_binmax_per_bin_dedup():
     """Per-bin rank-2 candidates are distinct positions within the bin."""
-    from matchmaker_tpu.ops.mips_binmax import binmax_candidates_jnp
+    from matchmaker_tpu.ops.mips_binmax import binmax_candidates_jnp, unpack_candidates
 
     rng = np.random.default_rng(8)
     corpus = jnp.asarray(rng.normal(size=(512, 16)).astype(np.float16))
     queries = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
-    vals, ids = binmax_candidates_jnp(queries, corpus, tile_rows=256)
-    # layout: per tile, nb rank-0 rows then nb rank-1 rows (module docstring)
+    packed = binmax_candidates_jnp(queries, corpus, tile_rows=256)
+    cols = jnp.broadcast_to(jnp.arange(packed.shape[1]), packed.shape)
+    vals, ids = unpack_candidates(packed, cols, 256, 2)
+    # layout: per tile, nb rank-0 rows then nb rank-1 rows (module docstring);
+    # all--inf padded bins (the grain padding) legitimately repeat lane 0
     nb = 256 // 128
     ids = np.asarray(ids).reshape(4, -1, 2, nb)
-    assert (ids[:, :, 0, :] != ids[:, :, 1, :]).all()
+    finite = np.isfinite(np.asarray(vals)).reshape(4, -1, 2, nb)
+    both = finite[:, :, 0, :] & finite[:, :, 1, :]
+    assert both.any()
+    assert (ids[:, :, 0, :][both] != ids[:, :, 1, :][both]).all()
 
 
 def test_sharded_binmax_matches_single_device(eight_devices):
@@ -285,7 +302,41 @@ def test_binmax_query_chunking_matches_jnp():
     n, d, q = 2048, 32, 300  # 300 queries, q_chunk=128 → 3 chunks
     corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
     queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
-    v1, i1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512, q_chunk=128)
-    v2, i2 = binmax_candidates_jnp(queries, corpus, tile_rows=512)
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    p1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512, q_chunk=128)
+    p2 = binmax_candidates_jnp(queries, corpus, tile_rows=512)
+    b1 = np.asarray(p1).view(np.int32)
+    b2 = np.asarray(p2).view(np.int32)
+    # identical lane bits; values within 1 ULP of each other
+    np.testing.assert_array_equal(b1 & 127, b2 & 127)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+
+
+def test_binmax_level2_tournament():
+    """Level-2 tournament (16x sort-width cut): pallas-interpret == jnp
+    candidates, ids decode through both packed lanes, recall matches the
+    single-level path."""
+    from matchmaker_tpu.ops.mips_binmax import (
+        binmax_candidates,
+        binmax_candidates_jnp,
+        binmax_scan_topk,
+    )
+
+    rng = np.random.default_rng(12)
+    n, d, q, k = 131072 // 8, 24, 5, 8  # C=256 with tile 512/per_bin 2... gate needs C>=128k
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
+    queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+
+    p1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512, level2=True)
+    p2 = binmax_candidates_jnp(queries, corpus, tile_rows=512, level2=True)
+    np.testing.assert_array_equal(
+        np.asarray(p1).view(np.int32) & 0x3FFF, np.asarray(p2).view(np.int32) & 0x3FFF
+    )
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+
+    # end-to-end with the level-2 gate active: ids must match brute force
+    vals, ids = binmax_scan_topk(queries, corpus, k=k, tile_rows=512, use_pallas=False)
+    exact = np.argsort(-(np.asarray(queries) @ np.asarray(corpus, np.float32).T), axis=1)[:, :k]
+    for qi in range(q):
+        got = set(map(int, np.asarray(ids)[qi]))
+        assert len(got & set(map(int, exact[qi]))) >= k - 2, (qi, got, exact[qi])
+    assert np.asarray(ids).max() < n
