@@ -65,9 +65,14 @@ def main():
 
     log(f"device={jax.devices()[0]} rows={args.rows} batch={args.batch} k={args.k}")
 
-    # bf16 corpus, built block-wise on device (one 2-byte copy; 13.7 GB at 8.9M)
-    tile = 2048
-    n_pad = -(-args.rows // tile) * tile
+    # bf16 corpus, built block-wise on device (one 2-byte copy; 13.7 GB at
+    # 8.9M). Pad to the binmax grain (8192): a non-multiple would make
+    # binmax_candidates re-pad the whole corpus inside the jit (a second
+    # 13.7 GB buffer -> OOM).
+    from matchmaker_tpu.ops.mips_binmax import padding_grain
+
+    grain = padding_grain()
+    n_pad = -(-args.rows // grain) * grain
     block = 131072
 
     @jax.jit
@@ -107,15 +112,16 @@ def main():
 
     @jax.jit
     def search_program(q_vecs, corpus):
+        # consume BOTH outputs in full (XLA narrows top_k to consumed columns)
         vals, doc_ids = binmax_scan_topk(q_vecs, corpus, args.k, n_valid=args.rows)
-        return (jnp.abs(vals[:, 0]).sum() + doc_ids[:, 0].sum() % 2).astype(jnp.int32)
+        return (jnp.abs(vals).sum() + doc_ids.sum() % 2).astype(jnp.int32)
 
     @jax.jit
     def fused_program(params, ids, mask, seed, corpus):
         shifted = jnp.where(ids > 0, ids + seed % 2, ids)
         q_vecs = model.apply({"params": params}, shifted, mask, "query", method=BertDot.encode)
         vals, doc_ids = binmax_scan_topk(q_vecs, corpus, args.k, n_valid=args.rows)
-        return (jnp.abs(vals[:, 0]).sum() + doc_ids[:, 0].sum() % 2).astype(jnp.int32)
+        return (jnp.abs(vals).sum() + doc_ids.sum() % 2).astype(jnp.int32)
 
     if args.fused:
         def serve(params, ids, mask, seed, corpus):

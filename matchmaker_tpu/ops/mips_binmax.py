@@ -68,6 +68,17 @@ LANE_BITS = 7  # log2(BIN_WIDTH): within-bin offset packed into the mantissa
 LANE_MASK = BIN_WIDTH - 1
 
 
+def padding_grain(tile_rows: int = 2048, per_bin: int = 2) -> int:
+    """Corpus-row padding grain: rows must be a multiple so the candidate
+    count per grain is a 128-multiple (transpose pass blocks). FlatIndex
+    restricts per_bin to powers of two, for which grain(2048, 2)=8192 is the
+    common multiple; odd per_bin values would need 16384."""
+    grain = tile_rows
+    while (grain // BIN_WIDTH) * per_bin % 128:
+        grain *= 2
+    return grain
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -258,8 +269,15 @@ def _level2_reduce(packed_t: jnp.ndarray, interpret: bool, use_pallas: bool) -> 
         packed_t = jnp.pad(packed_t, ((0, pad), (0, 0)), constant_values=-jnp.inf)
         c = packed_t.shape[0]
     if not use_pallas:
-        out = _topk_per_bin_t(packed_t, 0, c, LEVEL2_PER_BIN, lane_shift=LANE_BITS,
-                              use_argmax=True)
+        # per-_L2_BLOCK rank-major, exactly like the kernel grid's layout
+        # (a single whole-array call would be GLOBALLY rank-major — wrong
+        # positions for unpack_candidates beyond the first block)
+        blocks = packed_t.reshape(-1, _L2_BLOCK, q)
+        out = jax.vmap(
+            lambda b: _topk_per_bin_t(b, 0, _L2_BLOCK, LEVEL2_PER_BIN,
+                                      lane_shift=LANE_BITS, use_argmax=True)
+        )(blocks)
+        out = out.reshape(-1, q)
     else:
         out_rows = _L2_BLOCK // BIN_WIDTH * LEVEL2_PER_BIN
         out = pl.pallas_call(
@@ -326,11 +344,9 @@ def binmax_candidates(
     if corpus.dtype != jnp.bfloat16:
         corpus = corpus.astype(jnp.bfloat16)
     # rows must give a 128-multiple candidate count (the transpose pass works
-    # on 128-column blocks): pad to lcm(tile_rows, 128·128/per_bin) — callers
-    # in hot loops (FlatIndex) pre-pad so this is a no-op there
-    grain = tile_rows
-    while (grain // BIN_WIDTH) * per_bin % 128:
-        grain *= 2
+    # on 128-column blocks) — callers in hot loops (FlatIndex) pre-pad to
+    # padding_grain() so this is a no-op there
+    grain = padding_grain(tile_rows, per_bin)
     if n % grain != 0:
         corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
     if n_valid is None:
@@ -391,9 +407,7 @@ def binmax_candidates_jnp(
     XLA (tests + CPU fallback)."""
     q, dim = queries.shape
     n = corpus.shape[0]
-    grain = tile_rows  # same padding rule as the pallas path
-    while (grain // BIN_WIDTH) * per_bin % 128:
-        grain *= 2
+    grain = padding_grain(tile_rows, per_bin)  # same padding rule as pallas
     if n % grain != 0:
         corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
     if n_valid is None:
@@ -447,9 +461,7 @@ def binmax_scan_topk(
     # that keep-8-per-128 loses nothing (C ≥ 128·k → the reduced pool still
     # oversamples k by ≥8x), a second bin-max tournament level cuts the sort
     # width 16x, packing its lane at mantissa bits [7, 14).
-    grain = tile_rows
-    while (grain // BIN_WIDTH) * per_bin % 128:
-        grain *= 2
+    grain = padding_grain(tile_rows, per_bin)
     n_cands = (-(-corpus.shape[0] // grain) * grain) // BIN_WIDTH * per_bin
     level2 = n_cands >= 128 * k
     packed = fn(queries, corpus, n_valid=n_valid, per_bin=per_bin, tile_rows=tile_rows,

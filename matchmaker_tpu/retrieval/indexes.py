@@ -120,7 +120,12 @@ class FlatIndex(BaseNNIndexer):
         # grain must be a 128-multiple for the transpose pass) — otherwise
         # binmax_candidates re-pads the corpus inside every jitted search
         # (a full HBM copy per call; a second 13.7 GB buffer at 8.9M)
-        grain = n_shards * (8192 if self.mips_kernel == "binmax" else 1)
+        if self.mips_kernel == "binmax":
+            from matchmaker_tpu.ops.mips_binmax import padding_grain
+
+            grain = n_shards * padding_grain()  # 8192: covers per_bin 2/4/8
+        else:
+            grain = n_shards
         pad_to = grain * ((vectors.shape[0] + grain - 1) // grain)
         self._row_count = vectors.shape[0]
         if pad_to != vectors.shape[0]:
@@ -196,8 +201,11 @@ class FlatIndex(BaseNNIndexer):
                 if use_binmax and n // 128 * 8 >= 2 * k:
                     from matchmaker_tpu.ops.mips_binmax import sharded_binmax_topk
 
-                    # aim for ≥8x oversampled candidates, per-bin ranks 2..8
-                    per_bin = int(min(8, max(2, -(-8 * k * 128 // n))))
+                    # aim for ≥8x oversampled candidates; per-bin ranks are
+                    # powers of two (2/4/8) so the 8192 padding grain holds
+                    # (odd per_bin needs grain 16384 → in-jit corpus re-pad)
+                    want = int(min(8, max(2, -(-8 * k * 128 // n))))
+                    per_bin = 1 << (want - 1).bit_length()
                     return sharded_binmax_topk(
                         queries, corpus, k, mesh=mesh, n_valid=row_count, per_bin=per_bin,
                     )

@@ -322,21 +322,30 @@ def test_binmax_level2_tournament():
     )
 
     rng = np.random.default_rng(12)
-    n, d, q, k = 131072 // 8, 24, 5, 8  # C=256 with tile 512/per_bin 2... gate needs C>=128k
+    # C = 131072/128*2 = 2048 candidates → TWO level-2 blocks (cross-block
+    # layout exercised) and the scan_topk gate (C >= 128*k for k=8) active
+    n, d, q, k = 131072, 24, 5, 8
     corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
     queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
 
     p1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512, level2=True)
     p2 = binmax_candidates_jnp(queries, corpus, tile_rows=512, level2=True)
+    assert p1.shape == p2.shape and p1.shape[1] == 2048 // 128 * 8
     np.testing.assert_array_equal(
         np.asarray(p1).view(np.int32) & 0x3FFF, np.asarray(p2).view(np.int32) & 0x3FFF
     )
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
 
-    # end-to-end with the level-2 gate active: ids must match brute force
-    vals, ids = binmax_scan_topk(queries, corpus, k=k, tile_rows=512, use_pallas=False)
-    exact = np.argsort(-(np.asarray(queries) @ np.asarray(corpus, np.float32).T), axis=1)[:, :k]
-    for qi in range(q):
-        got = set(map(int, np.asarray(ids)[qi]))
-        assert len(got & set(map(int, exact[qi]))) >= k - 2, (qi, got, exact[qi])
-    assert np.asarray(ids).max() < n
+    # end-to-end with the level-2 gate ACTIVE (verify via the gate math):
+    # ids must match brute force
+    from matchmaker_tpu.ops.mips_binmax import padding_grain
+    n_cands = n // 128 * 2
+    assert n_cands >= 128 * k, "gate must be active for this test"
+    for use_pallas, kwargs in ((False, {}), (True, {"interpret": True})):
+        vals, ids = binmax_scan_topk(
+            queries, corpus, k=k, tile_rows=512, use_pallas=use_pallas, **kwargs)
+        exact = np.argsort(-(np.asarray(queries) @ np.asarray(corpus, np.float32).T), axis=1)[:, :k]
+        for qi in range(q):
+            got = set(map(int, np.asarray(ids)[qi]))
+            assert len(got & set(map(int, exact[qi]))) >= k - 2, (use_pallas, qi, got, exact[qi])
+        assert np.asarray(ids).max() < n
