@@ -1,0 +1,124 @@
+"""ColBERT late-interaction retrieval components over 1M token vectors.
+
+Decomposes the e2e path of retrieval/colbert_search.py on synthetic data:
+  phase 1  per-token candidate search: (B·Lq) query rows through the token
+           index (FlatIndex `scann` = fused binmax engine, q-chunked —
+           ColBERT sends batch*query_len rows per dispatch)
+  phase 2  host MaxSim merge (numpy maximum.at over dense doc slots — the
+           single-core host side of the pipeline)
+
+The composite 1/(1/qps1 + 1/qps2) approximates the CLI's end-to-end rate
+(the CLI additionally streams query encoding, measured separately at >20k
+query-encodes/s). Usage: python benchmarks/colbert_benchmark.py
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root importable
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_compile_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk, padding_grain
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--token-rows", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)  # ColBERT compression dim
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--query-len", type=int, default=32)
+    ap.add_argument("--cands", type=int, default=64)  # per-token candidates
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    print(f"[colbert-bench] device={jax.devices()[0]} tokens={args.token_rows} "
+          f"B={args.batch} Lq={args.query_len} k={args.cands}", flush=True)
+
+    grain = padding_grain()
+    n_pad = -(-args.token_rows // grain) * grain
+    corpus = jax.jit(lambda key: jax.random.normal(key, (n_pad, args.dim), jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(corpus)
+    flat_q = args.batch * args.query_len
+    queries = jax.random.normal(jax.random.PRNGKey(1), (flat_q, args.dim), jnp.float32)
+
+    # phase 1: device per-token candidate search (q-chunked binmax), honest
+    @jax.jit
+    def search(q, seed, c):
+        vals, ids = binmax_scan_topk(
+            q + seed * 1e-12, c, args.cands, n_valid=args.token_rows)
+        return vals.sum() + (ids.sum() % 2).astype(jnp.float32)
+
+    t0 = time.time()
+    seed = search(queries, jnp.float32(0.0), corpus); _ = float(seed)
+    print(f"[colbert-bench] compiled in {time.time()-t0:.0f}s", flush=True)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = seed
+        for _ in range(args.iters):
+            s = search(queries, s, corpus)
+        _ = float(s)
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+    qps_dev = args.batch / best
+    print(f"[colbert-bench] device per-token search: {best*1e3:.1f} ms/batch "
+          f"= {qps_dev:.0f} query-batches... QPS {qps_dev:.0f}", flush=True)
+
+    # phase 2: host MaxSim merge (the colbert_search.py aggregation, verbatim shape)
+    vals, ids = jax.jit(lambda q, c: binmax_scan_topk(
+        q, c, args.cands, n_valid=args.token_rows))(queries, corpus)
+    scores = np.asarray(vals).reshape(args.batch, args.query_len, args.cands)
+    idx = (np.asarray(ids) // 8).reshape(args.batch, args.query_len, args.cands)  # ~8 tok/doc
+    mask = np.ones((args.batch, args.query_len), np.float32)
+
+    def host_merge():
+        out = {}
+        for qi in range(args.batch):
+            valid = np.isfinite(scores[qi]) & (mask[qi][:, None] > 0)
+            flat_ids = idx[qi][valid]
+            uniq, inv = np.unique(flat_ids, return_inverse=True)
+            totals = np.zeros(len(uniq), np.float64)
+            inv_full = np.full(idx[qi].shape, -1, np.int64)
+            inv_full[valid] = inv
+            for t in range(args.query_len):
+                rv = valid[t]
+                if not rv.any():
+                    continue
+                best_ = np.full(len(uniq), -np.inf)
+                np.maximum.at(best_, inv_full[t][rv], scores[qi, t][rv])
+                totals += np.where(np.isfinite(best_), best_, 0.0)
+            order = np.argsort(-totals)[:100]
+            out[qi] = [(int(uniq[j]), float(totals[j])) for j in order]
+        return out
+
+    host_merge()  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        host_merge()
+    host_t = (time.perf_counter() - t0) / 3
+    qps_host = args.batch / host_t
+    print(f"[colbert-bench] host MaxSim merge: {host_t*1e3:.1f} ms/batch = {qps_host:.0f} QPS",
+          flush=True)
+
+    composite = 1.0 / (1.0 / qps_dev + 1.0 / qps_host)
+    print(json.dumps({
+        "token_rows": args.token_rows, "batch": args.batch, "query_len": args.query_len,
+        "device_search_qps": round(qps_dev, 1), "host_merge_qps": round(qps_host, 1),
+        "composite_qps": round(composite, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
