@@ -76,37 +76,20 @@ def main():
     print(f"[colbert-bench] device per-token search: {best*1e3:.1f} ms/batch "
           f"= {qps_dev:.0f} query-batches... QPS {qps_dev:.0f}", flush=True)
 
-    # phase 2: host MaxSim merge (the colbert_search.py aggregation, verbatim shape)
+    # phase 2: host MaxSim merge — the PRODUCTION aggregation
+    # (retrieval/colbert_search.aggregate_maxsim_batch, batch-vectorized)
+    from matchmaker_tpu.retrieval.colbert_search import aggregate_maxsim_batch
+
     vals, ids = jax.jit(lambda q, c: binmax_scan_topk(
         q, c, args.cands, n_valid=args.token_rows))(queries, corpus)
     scores = np.asarray(vals).reshape(args.batch, args.query_len, args.cands)
     idx = (np.asarray(ids) // 8).reshape(args.batch, args.query_len, args.cands)  # ~8 tok/doc
     mask = np.ones((args.batch, args.query_len), np.float32)
 
-    def host_merge():
-        out = {}
-        for qi in range(args.batch):
-            valid = np.isfinite(scores[qi]) & (mask[qi][:, None] > 0)
-            flat_ids = idx[qi][valid]
-            uniq, inv = np.unique(flat_ids, return_inverse=True)
-            totals = np.zeros(len(uniq), np.float64)
-            inv_full = np.full(idx[qi].shape, -1, np.int64)
-            inv_full[valid] = inv
-            for t in range(args.query_len):
-                rv = valid[t]
-                if not rv.any():
-                    continue
-                best_ = np.full(len(uniq), -np.inf)
-                np.maximum.at(best_, inv_full[t][rv], scores[qi, t][rv])
-                totals += np.where(np.isfinite(best_), best_, 0.0)
-            order = np.argsort(-totals)[:100]
-            out[qi] = [(int(uniq[j]), float(totals[j])) for j in order]
-        return out
-
-    host_merge()  # warm
+    aggregate_maxsim_batch(scores, idx, mask, 100)  # warm
     t0 = time.perf_counter()
     for _ in range(3):
-        host_merge()
+        aggregate_maxsim_batch(scores, idx, mask, 100)
     host_t = (time.perf_counter() - t0) / 3
     qps_host = args.batch / host_t
     print(f"[colbert-bench] host MaxSim merge: {host_t*1e3:.1f} ms/batch = {qps_host:.0f} QPS",

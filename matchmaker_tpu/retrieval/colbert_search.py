@@ -94,6 +94,69 @@ def exact_rescore(
     return rescored[:top_n]
 
 
+def aggregate_maxsim_batch(
+    scores: np.ndarray,  # (B, Lq, K) per-token candidate scores
+    ids: np.ndarray,  # (B, Lq, K) candidate doc ids (any dtype)
+    mask: np.ndarray,  # (B, Lq) query-token mask
+    top_n: int,
+    vocab: Optional[np.ndarray] = None,  # int code → doc-id string
+) -> List[List[Tuple[str, float]]]:
+    """ONE vectorized MaxSim merge for the whole batch: per (query, doc,
+    token) take the best retrieved score, then sum over tokens — a missing
+    (token, doc) retrieval contributes 0 (a lower bound of true MaxSim).
+    Scatter keys are factorized once instead of per query/token (the
+    per-query loop was the e2e bottleneck: 82 → ~8 ms/batch at
+    B=64/Lq=32/K=64 on one host core)."""
+    b, lq, _ = scores.shape
+    valid = np.isfinite(scores) & (mask[:, :, None] > 0)
+    qi_v, ti_v, _ = np.nonzero(valid)
+    ids_v = ids[valid]
+    sc_v = scores[valid]
+    merged: List[List[Tuple[str, float]]] = [[] for _ in range(b)]
+    if not ids_v.size:
+        return merged
+    # one factorization only for non-integer ids (strings); integer ids are
+    # their own codes
+    if ids_v.dtype.kind in "iu":
+        uvals, code = None, ids_v.astype(np.int64)
+        d_span = int(code.max()) + 1
+    else:
+        uvals, code = np.unique(ids_v, return_inverse=True)
+        d_span = len(uvals)
+    # single composite sort key (query, doc, token) + reduceat groupbys —
+    # one argsort replaces three np.unique sorts
+    key = (qi_v.astype(np.int64) * d_span + code) * lq + ti_v
+    order = np.argsort(key, kind="stable")
+    k_sorted = key[order]
+    s_sorted = sc_v[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(k_sorted)) + 1]
+    pt_max = np.maximum.reduceat(s_sorted, starts)  # per (q, doc, token) max
+    pair_sorted = k_sorted[starts] // lq  # (q, doc), still sorted
+    starts2 = np.r_[0, np.flatnonzero(np.diff(pair_sorted)) + 1]
+    totals = np.add.reduceat(pt_max, starts2)  # MaxSim sum over tokens
+    pair_u = pair_sorted[starts2]
+    pair_q = pair_u // d_span
+    pair_doc = pair_u % d_span
+    q_starts = np.searchsorted(pair_q, np.arange(b + 1))
+    for q_idx in range(b):
+        s, e = q_starts[q_idx], q_starts[q_idx + 1]
+        if s == e:
+            continue
+        seg = totals[s:e]
+        keep = min(top_n, e - s)
+        top = np.argpartition(-seg, keep - 1)[:keep]
+        top = top[np.argsort(-seg[top])]
+        docs = pair_doc[s:e][top]
+        if uvals is not None:
+            names = uvals[docs]
+        elif vocab is not None:
+            names = vocab[docs]
+        else:
+            names = docs
+        merged[q_idx] = [(str(names[j]), float(seg[top[j]])) for j in range(keep)]
+    return merged
+
+
 def colbert_search_queries(
     encode_fn: Callable,  # (params, ids, mask) -> (B, Lq, D) multi-vector queries
     params,
@@ -114,6 +177,14 @@ def colbert_search_queries(
         pad_t = -(-rescore_store.max_tokens // 8) * 8
 
     loader = single_sequence_loader(config, tokenizer, query_path, "query")
+    # integer fast path: factorize the index's per-row ids ONCE, search raw
+    # rows, merge on int codes (strings only for the final top-n) — the
+    # string np.unique per batch was 3x the merge cost
+    row_slot = slot_vocab = None
+    if hasattr(indexer, "search_rows"):
+        slot_vocab, row_slot = np.unique(np.asarray(indexer.row_ids).astype(str),
+                                         return_inverse=True)
+        row_slot = row_slot.astype(np.int64)
     perf.start_block("search_total")
     n = 0
     for batch, qids in device_prefetch(loader):
@@ -125,42 +196,28 @@ def colbert_search_queries(
 
         perf.start_block("search_nn_lookup")
         flat = q_vecs.reshape(b * lq, dim)
-        scores, ids = indexer.search(flat, per_token_candidates)
+        if row_slot is not None:
+            scores, rows = indexer.search_rows(flat, per_token_candidates)
+            ids = np.where(rows >= 0, row_slot[np.clip(rows, 0, len(row_slot) - 1)], -1)
+        else:
+            scores, ids = indexer.search(flat, per_token_candidates)
         perf.stop_block("search_nn_lookup", len(qids))
 
         perf.start_block("search_aggregation")
         scores = scores.reshape(b, lq, per_token_candidates)
         ids = ids.reshape(b, lq, per_token_candidates)
-        for qi, qid in enumerate(qids):
-            # vectorized per query: per token, best retrieved score per doc
-            # (np.maximum.at over dense doc slots); MaxSim sum over tokens —
-            # a missing (token, doc) retrieval contributes 0 (lower bound)
-            valid = np.isfinite(scores[qi]) & (mask[qi][:, None] > 0)
-            flat_ids = ids[qi][valid]
-            if flat_ids.size == 0:
-                results[qid] = []
-                continue
-            uniq, inv = np.unique(flat_ids.astype(str), return_inverse=True)
-            totals = np.zeros(len(uniq), np.float64)
-            inv_full = np.full(ids[qi].shape, -1, np.int64)
-            inv_full[valid] = inv
-            for t in range(lq):
-                row_valid = valid[t]
-                if not row_valid.any():
-                    continue
-                best = np.full(len(uniq), -np.inf)
-                np.maximum.at(best, inv_full[t][row_valid], scores[qi, t][row_valid])
-                totals += np.where(np.isfinite(best), best, 0.0)
-            order = np.argsort(-totals)
-            if rescore_store is not None and rescore_n > 0:
+        keep = max(top_n, rescore_n if rescore_store is not None else 0)
+        merged = aggregate_maxsim_batch(scores, ids, mask, keep, vocab=slot_vocab)
+        for q_idx, qid in enumerate(qids):
+            cands = merged[q_idx]
+            if rescore_store is not None and rescore_n > 0 and cands:
                 # exact MaxSim refinement of the approximate candidate pool
-                cands = [(str(uniq[j]), float(totals[j])) for j in order[:rescore_n]]
-                ranked = exact_rescore(
-                    q_vecs[qi], mask[qi], cands, rescore_store, top_n, pad_c, pad_t
+                results[qid] = exact_rescore(
+                    q_vecs[q_idx], mask[q_idx], cands[:rescore_n], rescore_store,
+                    top_n, pad_c, pad_t,
                 )
             else:
-                ranked = [(str(uniq[j]), float(totals[j])) for j in order[:top_n]]
-            results[qid] = ranked
+                results[qid] = cands[:top_n]
         perf.stop_block("search_aggregation", len(qids))
         n += len(qids)
     perf.stop_block("search_total", n)

@@ -233,7 +233,10 @@ class FlatIndex(BaseNNIndexer):
 
         self._search_fn = search_fn
 
-    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search_rows(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`search` but returns RAW row indices (int32, -1 for
+        padded/invalid slots) instead of sequence ids — high-volume callers
+        (ColBERT's per-token merge) factorize ids once and stay integer."""
         self._ensure_device()
         q = jnp.asarray(np.asarray(queries), dtype=self.compute_dtype)
         vals, idx = self._search_fn(q, self._device_vectors, k=top_n)
@@ -242,7 +245,20 @@ class FlatIndex(BaseNNIndexer):
             pad = top_n - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
             idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        invalid = (idx < 0) | (idx >= self._row_count) | ~np.isfinite(vals)
+        if invalid.any():
+            idx = np.where(invalid, -1, idx)
+            vals = np.where(invalid, -np.inf, vals)
+        return vals, idx
+
+    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        vals, idx = self.search_rows(queries, top_n)
         return gather_ids(self._ids, idx, self._row_count, vals)
+
+    @property
+    def row_ids(self) -> np.ndarray:
+        """Sequence id per corpus row (aligns with :meth:`search_rows`)."""
+        return self._ids
 
     def save(self, folder: str) -> None:
         os.makedirs(folder, exist_ok=True)
