@@ -30,7 +30,7 @@ inspection / on-chip A-B tests; see benchmarks/search_benchmark.py):
    at that k/width ratio (returns its input unreduced). When the pool
    oversamples k by ≥128x, a second bin-max level keeps the top-8 of every
    128 candidates (packing its lane at mantissa bits [7, 14)), cutting the
-   sort width 16x. Benchmarks must consume BOTH outputs in full — XLA
+   sort width 16x; mid pools (≥16x oversample) use keep-8 per 32 (4x cut). Benchmarks must consume BOTH outputs in full — XLA
    silently narrows top_k to the consumed columns (k'=1 when only column 0
    is read), which voids naive measurements.
 
@@ -103,16 +103,17 @@ def unpack_candidates(
     positions: jnp.ndarray,  # (Q, k) int32, their columns in the candidate array
     tile_rows: int,
     per_bin: int,
-    level2: bool = False,
+    level2: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(values, corpus row ids) from packed candidates — pure elementwise.
 
     Level 1: column c of the candidate array maps to tile c//(per_bin·nb)
     and bin (c mod nb) with nb = tile_rows/128 (rank-major within a tile);
     the lane offset lives in the value's low 7 mantissa bits. With
-    ``level2``, ``positions`` index the 16x-reduced array: they decode to a
-    level-1 raw row via the level-2 layout + the lane packed at bits
-    [7, 14), which then decodes as level 1."""
+    ``level2`` (= the tournament group width, 128 or 32), ``positions``
+    index the reduced array: they decode to a level-1 raw row via the
+    level-2 block layout + the lane packed at bits [7, 14), which then
+    decodes as level 1."""
     nb = tile_rows // BIN_WIDTH
     bits = jax.lax.bitcast_convert_type(packed_vals, jnp.int32)
     lane1 = bits & LANE_MASK
@@ -122,11 +123,11 @@ def unpack_candidates(
     vals = jnp.where(finite, vals, packed_vals)
     if level2:
         lane2 = (bits >> LANE_BITS) & LANE_MASK
-        nb2 = _L2_BLOCK // BIN_WIDTH  # 8 bins per level-2 grid block
-        out_rows = nb2 * LEVEL2_PER_BIN  # 64 rows per block, rank-major
+        nb2 = _L2_BLOCK // level2  # groups per level-2 grid block
+        out_rows = nb2 * LEVEL2_PER_BIN  # rows per block, rank-major
         blk = positions // out_rows
         bin2 = positions % nb2
-        rc = blk * _L2_BLOCK + bin2 * BIN_WIDTH + lane2  # level-1 raw row
+        rc = blk * _L2_BLOCK + bin2 * level2 + lane2  # level-1 raw row
     else:
         rc = positions
     tile = rc // (per_bin * nb)
@@ -136,6 +137,7 @@ def unpack_candidates(
 
 
 def _unpack_kernel(tv_ref, pos_ref, val_ref, id_ref, *, tile_rows, per_bin, level2):
+    # (level2 = tournament group width or None, threaded through verbatim)
     vals, ids = unpack_candidates(tv_ref[...], pos_ref[...], tile_rows, per_bin, level2)
     val_ref[...] = vals
     id_ref[...] = ids
@@ -147,7 +149,7 @@ def unpack_candidates_pallas(
     tile_rows: int,
     per_bin: int,
     interpret: Optional[bool] = None,
-    level2: bool = False,
+    level2: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """:func:`unpack_candidates` inside a Pallas kernel.
 
@@ -192,7 +194,8 @@ def unpack_candidates_pallas(
 
 
 def _topk_per_bin_t(scores_t: jnp.ndarray, base, n_valid: int, per_bin: int,
-                    lane_shift: int = 0, use_argmax: bool = False):
+                    lane_shift: int = 0, use_argmax: bool = False,
+                    bin_width: int = BIN_WIDTH):
     """scores_t (T, Q) f32 → packed candidates (T//128*per_bin, Q).
 
     Shared by the kernel body (``use_argmax=False``: first-argmax emulated
@@ -205,13 +208,13 @@ def _topk_per_bin_t(scores_t: jnp.ndarray, base, n_valid: int, per_bin: int,
     Reductions run over the sublane axis, the lane axis (Q) is untouched;
     the within-bin offset is mantissa-packed at ``lane_shift``."""
     t, q = scores_t.shape
-    nb = t // BIN_WIDTH
+    nb = t // bin_width
     # skip the validity mask only when statically known fully-valid
     if not (isinstance(base, int) and base + t <= n_valid):
         row = jax.lax.broadcasted_iota(jnp.int32, (t, q), 0)
         scores_t = jnp.where(base + row < n_valid, scores_t, -jnp.inf)
-    s3 = scores_t.reshape(nb, BIN_WIDTH, q)
-    off = jax.lax.broadcasted_iota(jnp.int32, (nb, BIN_WIDTH, q), 1)
+    s3 = scores_t.reshape(nb, bin_width, q)
+    off = jax.lax.broadcasted_iota(jnp.int32, (nb, bin_width, q), 1)
 
     packed = []
     cur = s3
@@ -221,8 +224,8 @@ def _topk_per_bin_t(scores_t: jnp.ndarray, base, n_valid: int, per_bin: int,
             idx = jnp.argmax(cur, axis=1).astype(jnp.int32)
         else:
             # first row offset achieving the max (ties → lowest, like argmax)
-            idx = jnp.min(jnp.where(cur == m[:, None, :], off, BIN_WIDTH), axis=1)
-            idx = jnp.minimum(idx, BIN_WIDTH - 1)  # all--inf bin → masked by -inf
+            idx = jnp.min(jnp.where(cur == m[:, None, :], off, bin_width), axis=1)
+            idx = jnp.minimum(idx, bin_width - 1)  # all--inf bin → masked by -inf
         packed.append(_pack_lane(m, idx, lane_shift))
         if r + 1 < per_bin:
             cur = jnp.where(off == idx[:, None, :], -jnp.inf, cur)
@@ -245,29 +248,36 @@ def _transpose_kernel(in_ref, out_ref):
     out_ref[...] = in_ref[...].T
 
 
-LEVEL2_PER_BIN = 8  # keep-8 per 128 level-1 candidates (16x reduction)
+LEVEL2_PER_BIN = 8  # candidates kept per tournament group
 _L2_BLOCK = 1024
+# tournament variants: group width → (16x cut for huge pools, 4x for mid)
+L2_WIDE, L2_MID = 128, 32
 
 
-def _level2_kernel(in_ref, out_ref):
-    out_ref[...] = _topk_per_bin_t(
-        in_ref[...], 0, in_ref.shape[0], LEVEL2_PER_BIN, lane_shift=LANE_BITS
-    )
+def _make_level2_kernel(bin_width):
+    def kernel(in_ref, out_ref):
+        out_ref[...] = _topk_per_bin_t(
+            in_ref[...], 0, in_ref.shape[0], LEVEL2_PER_BIN,
+            lane_shift=LANE_BITS, bin_width=bin_width,
+        )
+    return kernel
 
 
-def _level2_reduce(packed_t: jnp.ndarray, interpret: bool, use_pallas: bool) -> jnp.ndarray:
+def _level2_reduce(packed_t: jnp.ndarray, interpret: bool, use_pallas: bool,
+                   bin_width: int = L2_WIDE) -> jnp.ndarray:
     """Tournament level 2 over the raw (C, Q) candidate array.
 
-    Every 128 level-1 candidates reduce to their top-8, the within-group
-    offset mantissa-packed at bits [7, 14) — a 16x cut of the final sort
-    width (lax.top_k is a full sort on TPU, ~0.5 µs/element). Applied when
-    the candidate count is large enough that the keep-8 collision loss is
-    negligible (FlatIndex gates on C ≥ 128·k)."""
+    Every ``bin_width`` level-1 candidates reduce to their top-8, the
+    within-group offset mantissa-packed at bits [7, 14) — a
+    bin_width/8-fold cut of the final sort width (lax.top_k is a full sort
+    on TPU, ~0.5 µs/element). binmax_scan_topk gates the variant on the
+    pool/k ratio so the keep-8 collision loss stays negligible."""
     c, q = packed_t.shape
     if c % _L2_BLOCK:
         pad = _L2_BLOCK - c % _L2_BLOCK
         packed_t = jnp.pad(packed_t, ((0, pad), (0, 0)), constant_values=-jnp.inf)
         c = packed_t.shape[0]
+    out_rows = _L2_BLOCK // bin_width * LEVEL2_PER_BIN
     if not use_pallas:
         # per-_L2_BLOCK rank-major, exactly like the kernel grid's layout
         # (a single whole-array call would be GLOBALLY rank-major — wrong
@@ -275,17 +285,17 @@ def _level2_reduce(packed_t: jnp.ndarray, interpret: bool, use_pallas: bool) -> 
         blocks = packed_t.reshape(-1, _L2_BLOCK, q)
         out = jax.vmap(
             lambda b: _topk_per_bin_t(b, 0, _L2_BLOCK, LEVEL2_PER_BIN,
-                                      lane_shift=LANE_BITS, use_argmax=True)
+                                      lane_shift=LANE_BITS, use_argmax=True,
+                                      bin_width=bin_width)
         )(blocks)
         out = out.reshape(-1, q)
     else:
-        out_rows = _L2_BLOCK // BIN_WIDTH * LEVEL2_PER_BIN
         out = pl.pallas_call(
-            _level2_kernel,
+            _make_level2_kernel(bin_width),
             grid=(c // _L2_BLOCK,),
             in_specs=[pl.BlockSpec((_L2_BLOCK, q), lambda i: (i, 0))],
             out_specs=pl.BlockSpec((out_rows, q), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((c // BIN_WIDTH * LEVEL2_PER_BIN, q), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((c // bin_width * LEVEL2_PER_BIN, q), jnp.float32),
             interpret=interpret,
         )(packed_t)
     if out.shape[0] % 128:  # transpose pass needs 128-multiples; pad columns
@@ -319,7 +329,7 @@ def binmax_candidates(
     tile_rows: int = 2048,
     interpret: Optional[bool] = None,
     q_chunk: int = 256,
-    level2: bool = False,
+    level2: Optional[int] = None,
 ) -> jnp.ndarray:
     """Per-bin top-``per_bin`` packed candidates over the whole corpus.
 
@@ -380,7 +390,8 @@ def binmax_candidates(
             interpret=interpret,
         )(q_block, corpus)
         if level2:
-            vals_t = _level2_reduce(vals_t, interpret, use_pallas=True)
+            vals_t = _level2_reduce(vals_t, interpret, use_pallas=True,
+                                    bin_width=level2)
         return _pallas_transpose(vals_t, interpret)
 
     if q_pad <= q_chunk:
@@ -401,7 +412,7 @@ def binmax_candidates_jnp(
     n_valid: Optional[int] = None,
     per_bin: int = 2,
     tile_rows: int = 2048,
-    level2: bool = False,
+    level2: Optional[int] = None,
 ) -> jnp.ndarray:
     """Reference implementation: identical math and candidate layout, plain
     XLA (tests + CPU fallback)."""
@@ -428,7 +439,8 @@ def binmax_candidates_jnp(
     # (n_tiles, nb_tile, Q) → (Q, n_tiles*nb_tile), tile-major like the kernel
     raw = vals.reshape(-1, q)
     if level2:
-        raw = _level2_reduce(raw, interpret=False, use_pallas=False)
+        raw = _level2_reduce(raw, interpret=False, use_pallas=False,
+                             bin_width=level2)
     return raw.T
 
 
@@ -463,7 +475,14 @@ def binmax_scan_topk(
     # width 16x, packing its lane at mantissa bits [7, 14).
     grain = padding_grain(tile_rows, per_bin)
     n_cands = (-(-corpus.shape[0] // grain) * grain) // BIN_WIDTH * per_bin
-    level2 = n_cands >= 128 * k
+    # tournament variant by pool/k ratio: 16x cut (keep-8/128) for huge
+    # pools, 4x (keep-8/32) for mid — both keep the collision loss negligible
+    if n_cands >= 128 * k:
+        level2 = L2_WIDE
+    elif n_cands >= 16 * k:
+        level2 = L2_MID
+    else:
+        level2 = None
     packed = fn(queries, corpus, n_valid=n_valid, per_bin=per_bin, tile_rows=tile_rows,
                 level2=level2, **kw)
     k_eff = min(k, packed.shape[1])

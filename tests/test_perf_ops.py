@@ -328,24 +328,28 @@ def test_binmax_level2_tournament():
     corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float16))
     queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
 
-    p1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512, level2=True)
-    p2 = binmax_candidates_jnp(queries, corpus, tile_rows=512, level2=True)
-    assert p1.shape == p2.shape and p1.shape[1] == 2048 // 128 * 8
-    np.testing.assert_array_equal(
-        np.asarray(p1).view(np.int32) & 0x3FFF, np.asarray(p2).view(np.int32) & 0x3FFF
-    )
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+    for bw, exp_cols in ((128, 2048 // 128 * 8), (32, 2048 // 32 * 8)):
+        p1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512, level2=bw)
+        p2 = binmax_candidates_jnp(queries, corpus, tile_rows=512, level2=bw)
+        assert p1.shape == p2.shape and p1.shape[1] == exp_cols, (bw, p1.shape)
+        np.testing.assert_array_equal(
+            np.asarray(p1).view(np.int32) & 0x3FFF, np.asarray(p2).view(np.int32) & 0x3FFF
+        )
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
 
-    # end-to-end with the level-2 gate ACTIVE (verify via the gate math):
-    # ids must match brute force
-    from matchmaker_tpu.ops.mips_binmax import padding_grain
+    # end-to-end with the tournament gates ACTIVE (verify via the gate math):
+    # ids must match brute force. n=131072 → wide (keep-8/128); the smaller
+    # corpus below lands in the mid band (keep-8/32).
     n_cands = n // 128 * 2
-    assert n_cands >= 128 * k, "gate must be active for this test"
-    for use_pallas, kwargs in ((False, {}), (True, {"interpret": True})):
-        vals, ids = binmax_scan_topk(
-            queries, corpus, k=k, tile_rows=512, use_pallas=use_pallas, **kwargs)
-        exact = np.argsort(-(np.asarray(queries) @ np.asarray(corpus, np.float32).T), axis=1)[:, :k]
-        for qi in range(q):
-            got = set(map(int, np.asarray(ids)[qi]))
-            assert len(got & set(map(int, exact[qi]))) >= k - 2, (use_pallas, qi, got, exact[qi])
-        assert np.asarray(ids).max() < n
+    assert n_cands >= 128 * k, "wide gate must be active for this test"
+    small = corpus[:8192]
+    assert 16 * k <= 8192 // 128 * 2 < 128 * k, "mid gate must be active"
+    for corp, nn in ((corpus, n), (small, 8192)):
+        ex = np.argsort(-(np.asarray(queries) @ np.asarray(corp, np.float32).T), axis=1)[:, :k]
+        for use_pallas, kwargs in ((False, {}), (True, {"interpret": True})):
+            vals, ids = binmax_scan_topk(
+                queries, corp, k=k, tile_rows=512, use_pallas=use_pallas, **kwargs)
+            for qi in range(q):
+                got = set(map(int, np.asarray(ids)[qi]))
+                assert len(got & set(map(int, ex[qi]))) >= k - 2, (nn, use_pallas, qi)
+            assert np.asarray(ids).max() < nn
