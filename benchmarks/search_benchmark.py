@@ -16,7 +16,8 @@ masked via n_valid — round 1 left the build buffer's zero rows unmasked,
 which polluted every deep-top-k recall line; score 0.0 beats the real
 rank-1000 hits on this corpus):
   1.113M rows (one v5e-8 shard of MS MARCO):
-    binmax (fused Pallas)  30.5k QPS @ recall@1000 0.9967 vs f32 / 0.998 vs f16-exact
+    binmax (fused Pallas + mid tournament)  39.8k QPS solo / 64.5k saturated
+        @ recall@1000 0.9967 vs f32 / 0.998 vs f16-exact
     f16scan_full           15.0k QPS @ 0.9863 vs f32
     f16scan blk=557056      4.4k QPS @ 0.9928 vs f32
     approx_int8             5.0k QPS @ 0.9124 vs f32  (strictly dominated by binmax)

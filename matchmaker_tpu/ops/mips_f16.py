@@ -24,7 +24,7 @@ No candidate gather, no quantization beyond the storage fp16: stage-wise
 designs (int8 + gather rescore) lost 20x to HBM random-gather costs and are
 superseded by this scan (see ops/mips_twostage.py for the retained
 alternative). The fused Pallas bin-max kernel (ops/mips_binmax.py) beats
-this scan on both axes — 30.5k vs 15.0k QPS honest (full result
+this scan on both axes — 39.8k vs 15.0k QPS honest (full result
 consumption) at recall@1000 0.9967-vs-0.9863 on the same shard — and is the
 preferred approximate engine (``mips_kernel: binmax``).
 """

@@ -619,7 +619,7 @@ def build_index(config, mesh=None) -> BaseNNIndexer:
         return FlatIndex(config, mesh)
     if kind == "scann":
         # measured-best approximate operating point: fused bin-max candidate
-        # scan (ops/mips_binmax.py) — 30.5k QPS per 1.1M shard @ recall@1000
+        # scan (ops/mips_binmax.py) — 39.8k QPS per 1.1M shard @ recall@1000
         # 0.9967 vs f32-exact, 2x the XLA scan. The more literally ScaNN-shaped int8 two-stage
         # (quantized scan + exact reorder) stays available via explicit
         # mips_quantization/mips_twostage config — its candidate gather is
