@@ -444,6 +444,32 @@ def binmax_candidates_jnp(
     return raw.T
 
 
+def _column_bin_starts(
+    n_cols: int, tile_rows: int, per_bin: int, level2: Optional[int]
+) -> jnp.ndarray:
+    """Smallest corpus-row bin start each candidate column can carry.
+
+    Pure arithmetic on the candidate layout (no unpack): level-1 column c is
+    tile c//(per_bin·nb), bin c%nb; a level-2 column covers a contiguous span
+    of ``level2`` level-1 columns, so its bound is the span minimum. Used to
+    -inf columns whose EVERY contributing bin lies at/after a traced validity
+    bound (fully-padded bins whose zero rows would otherwise enter top-k)."""
+    nb = tile_rows // BIN_WIDTH
+    cols = jnp.arange(n_cols, dtype=jnp.int32)
+    if level2:
+        nb2 = _L2_BLOCK // level2
+        out_rows = nb2 * LEVEL2_PER_BIN
+        blk = cols // out_rows
+        bin2 = cols % nb2
+        first = blk * _L2_BLOCK + bin2 * level2  # first level-1 column of group
+        span = first[:, None] + jnp.arange(level2, dtype=jnp.int32)[None, :]
+    else:
+        span = cols[:, None]
+    tile = span // (per_bin * nb)
+    bin_ = span % nb
+    return (tile * tile_rows + bin_ * BIN_WIDTH).min(axis=1)
+
+
 def binmax_scan_topk(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
@@ -454,12 +480,20 @@ def binmax_scan_topk(
     index_offset: int = 0,
     use_pallas: Optional[bool] = None,
     interpret: Optional[bool] = None,
+    valid_bound=None,
+    gate_rows: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over an f16/bf16 corpus: fused candidate scan + one exact top-k.
 
     Drop-in for :func:`ops.mips_f16.f16_scan_topk` (approx mode); same
     (values, int32 ids) contract, ids offset by ``index_offset`` for sharding.
     Id extraction is gather-free (mantissa packing, see module docstring).
+
+    ``valid_bound`` (traced int, optional): additionally -inf every candidate
+    column whose entire bin lies at/after this row — used by the sharded path,
+    whose in-kernel ``n_valid`` must be a static SPMD-uniform constant, to
+    drop the tail shard's fully-padded bins before they occupy top-k slots
+    (zero-padding rows score exactly 0.0, above real sub-zero tail hits).
     """
     if use_pallas is None:
         use_pallas = _on_tpu() or bool(interpret)
@@ -473,8 +507,17 @@ def binmax_scan_topk(
     # that keep-8-per-128 loses nothing (C ≥ 128·k → the reduced pool still
     # oversamples k by ≥8x), a second bin-max tournament level cuts the sort
     # width 16x, packing its lane at mantissa bits [7, 14).
-    grain = padding_grain(tile_rows, per_bin)
-    n_cands = (-(-corpus.shape[0] // grain) * grain) // BIN_WIDTH * per_bin
+    # the tournament gate must see the REAL candidate pool (``gate_rows``,
+    # default n_valid): gating on the padded corpus buffer admits small dense
+    # pools where keep-8 truncation is material — e.g. 4096 real rows padded
+    # to an 8192-row shard at k=20 would pass the mid gate while ~10 of the
+    # top-20 share one rank-0..1 group of 32
+    basis = gate_rows if gate_rows is not None else (
+        n_valid if n_valid is not None else corpus.shape[0]
+    )
+    if not isinstance(basis, int):  # traced n_valid: gate needs a static bound
+        basis = corpus.shape[0]
+    n_cands = basis // BIN_WIDTH * per_bin
     # tournament variant by pool/k ratio: 16x cut (keep-8/128) for huge
     # pools, 4x (keep-8/32) for mid — both keep the collision loss negligible
     if n_cands >= 128 * k:
@@ -485,6 +528,9 @@ def binmax_scan_topk(
         level2 = None
     packed = fn(queries, corpus, n_valid=n_valid, per_bin=per_bin, tile_rows=tile_rows,
                 level2=level2, **kw)
+    if valid_bound is not None:
+        starts = _column_bin_starts(packed.shape[1], tile_rows, per_bin, level2)
+        packed = jnp.where(starts[None, :] < valid_bound, packed, -jnp.inf)
     k_eff = min(k, packed.shape[1])
     top_packed, pos = jax.lax.top_k(packed, k_eff)
     if use_pallas:
@@ -509,11 +555,17 @@ def sharded_binmax_topk(
     """Mesh-sharded fused scan: per-chip kernel + one (Q, k·shards) ICI merge —
     the same composition as ops/mips_f16.sharded_f16_scan_topk.
 
-    Global tail padding (zero rows below ``n_valid``) is filtered after the
-    per-shard scan: the kernel's validity bound is a static compile-time
-    constant, identical across shards under SPMD, so the tail shard's padded
-    rows can displace at most ``per_bin`` candidates in the single bin where
-    real rows and padding mix — ≤2 of k=1000, bounded by construction."""
+    Global tail padding (zero rows at/after ``n_valid``) is handled in two
+    layers, because the kernel's own validity bound is a static compile-time
+    constant identical across shards under SPMD: (1) every candidate column
+    whose whole bin lies in the padded tail is -inf'd BEFORE the per-shard
+    top-k (traced ``valid_bound`` arithmetic on the candidate layout —
+    without this, each fully-padded 128-row bin injects per_bin candidates
+    at score 0.0 that displace real sub-zero tail hits from the per-shard
+    pool); (2) the surviving mixed bins' padded rows are filtered by id
+    after top-k. Residual pollution is ≤ per_bin·(1 + LEVEL2_PER_BIN)
+    candidates from the boundary bins — ≤72 of the k·n_shards merged pool,
+    and those slots are -inf'd, not mis-ranked."""
     if mesh is None or len(mesh.devices.flatten()) == 1:
         return binmax_scan_topk(queries, corpus, k, n_valid=n_valid, **kw)
 
@@ -534,8 +586,16 @@ def sharded_binmax_topk(
         base = shard_id * shard_rows
         # local n_valid=shard_rows masks rows the kernel pads to a tile
         # multiple (otherwise their local ids would alias the NEXT shard's
-        # global range); the global n_valid filter handles corpus-tail padding
-        vals, idx = binmax_scan_topk(q, c_shard, k, n_valid=shard_rows, **kw)
+        # global range); the traced valid_bound -inf's fully-padded tail bins
+        # before the per-shard top-k, and the id filter below catches the
+        # mixed boundary bins' remnants
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+        # gate_rows = the fullest shard's real fill (rows are contiguous, so
+        # shard 0 holds min(shard_rows, n_valid)) — static and SPMD-uniform
+        vals, idx = binmax_scan_topk(
+            q, c_shard, k, n_valid=shard_rows, valid_bound=local_valid,
+            gate_rows=min(shard_rows, n_valid), **kw
+        )
         vals = jnp.where(idx + base < n_valid, vals, -jnp.inf)
         if vals.shape[1] < k:
             pad = k - vals.shape[1]

@@ -65,9 +65,18 @@ def search_queries(
         q_vecs = np.asarray(encode_fn(params, batch["seq_ids"], batch["seq_mask"]))
         perf.stop_block("search_query_encode", len(qids))
         if q_vecs.ndim == 3:
-            # multi-vector queries (ColBERT): search per token vector, merge below
-            raise NotImplementedError(
-                "multi-vector query search goes through retrieval.colbert_search"
+            # multi-vector queries (ColBERT): per-token search + MaxSim merge.
+            # Programmatic callers (not going through the CLI's model-type
+            # branch, cli/dense_retrieval.py:117-151) land here on the first
+            # batch — hand the whole query stream to the working path instead
+            # of crashing (the stream restarts from the file, so nothing from
+            # this probe batch is lost).
+            from matchmaker_tpu.retrieval.colbert_search import colbert_search_queries
+
+            perf.stop_block("search_total", 0)
+            return colbert_search_queries(
+                encode_fn, params, config, tokenizer, indexer, query_path, top_n,
+                per_token_candidates=int(config.get("colbert_token_candidates", 64)),
             )
         perf.start_block("search_nn_lookup")
         scores, ids = indexer.search(q_vecs, fetch_n)

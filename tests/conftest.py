@@ -23,8 +23,12 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws from a fresh fixed seed, so its data
+    # is identical under ANY subset/order of the suite (a session-scoped rng
+    # made each test's draws depend on which tests ran before it — an
+    # order-dependent flake factory)
     return np.random.default_rng(42)
 
 

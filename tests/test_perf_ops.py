@@ -277,7 +277,11 @@ def test_flat_index_binmax_kernel(eight_devices):
     from matchmaker_tpu.retrieval.indexes import FlatIndex
 
     rng = np.random.default_rng(11)
-    for n in (160, 8 * 2048):
+    # gate is on the REAL row count at k=5: 160 rows (8 candidates max < 40)
+    # must route to the exact fallback; 16384 rows pass; 80k rows exercise
+    # binmax with a padded tail (80000 → 131072 on the 8-device mesh: 51072
+    # zero rows, 3 fully-padded shards).
+    for n in (160, 8 * 2048, 80_000):
         index = FlatIndex(
             {"token_dtype": "float16", "mips_quantization": "float16",
              "mips_kernel": "binmax"}, make_mesh(),
@@ -288,9 +292,19 @@ def test_flat_index_binmax_kernel(eight_devices):
         index.prepare(24)
         index.index(ids, vectors)
         q = vectors[[3, n - 5]]
-        _, got = index.search(q, 5)
-        # self-retrieval: the query's own doc must be in the top-5
+        scores, got = index.search(q, 5)
+        # every slot is a real doc: no -1/"" sentinel, no -inf score (the
+        # padded corpus buffer must never leak into results)
+        assert np.isfinite(scores).all(), (n, scores)
+        assert all(g != "" for row in got for g in row), (n, got)
+        # self-retrieval at score 1.0 must rank top
         assert "d3" in set(got[0]) and f"d{n-5}" in set(got[1]), (n, got)
+        # exact-fallback geometry: must match brute force exactly
+        if n == 160:
+            f16 = vectors.astype(np.float16).astype(np.float32)
+            brute = np.argsort(-(q @ f16.T), axis=1)[:, :5]
+            for r in range(2):
+                assert set(got[r]) == {f"d{i}" for i in brute[r]}, (n, got)
 
 
 def test_binmax_query_chunking_matches_jnp():
