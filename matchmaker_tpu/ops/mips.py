@@ -68,7 +68,7 @@ def sharded_topk_mips(
     corpus: jnp.ndarray,  # (N, D) sharded over mesh axis
     k: int,
     mesh: Optional[Mesh] = None,
-    axis: str = "data",
+    axis="data",  # a mesh axis name or a tuple of names (multi-host (dcn, ici))
     block_size: int = 65536,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k MIPS over a row-sharded corpus; returns (Q, k) scores + ids.
@@ -78,7 +78,9 @@ def sharded_topk_mips(
     if mesh is None or len(mesh.devices.flatten()) == 1:
         return blocked_topk_scores(queries, corpus, k, block_size)
 
-    n_shards = mesh.shape[axis]
+    from matchmaker_tpu.parallel.mesh import axis_size
+
+    n_shards = axis_size(mesh, axis)
     shard_rows = corpus.shape[0] // n_shards
 
     @functools.partial(

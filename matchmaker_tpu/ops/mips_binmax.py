@@ -548,7 +548,7 @@ def sharded_binmax_topk(
     corpus: jnp.ndarray,  # (N, D), N divisible by the mesh axis size
     k: int,
     mesh: Optional[Mesh] = None,
-    axis: str = "data",
+    axis="data",  # a mesh axis name or a tuple of names (multi-host (dcn, ici))
     n_valid: Optional[int] = None,
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -569,7 +569,9 @@ def sharded_binmax_topk(
     if mesh is None or len(mesh.devices.flatten()) == 1:
         return binmax_scan_topk(queries, corpus, k, n_valid=n_valid, **kw)
 
-    n_shards = mesh.shape[axis]
+    from matchmaker_tpu.parallel.mesh import axis_size
+
+    n_shards = axis_size(mesh, axis)
     shard_rows = corpus.shape[0] // n_shards
     if n_valid is None:
         n_valid = corpus.shape[0]

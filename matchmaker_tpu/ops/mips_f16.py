@@ -125,7 +125,7 @@ def sharded_f16_scan_topk(
     corpus: jnp.ndarray,
     k: int,
     mesh: Optional[Mesh] = None,
-    axis: str = "data",
+    axis="data",  # a mesh axis name or a tuple of names (multi-host (dcn, ici))
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mesh-sharded f16 scan: per-chip scan + one (Q, k·shards) merge over ICI.
@@ -134,7 +134,9 @@ def sharded_f16_scan_topk(
     if mesh is None or len(mesh.devices.flatten()) == 1:
         return f16_scan_topk(queries, corpus, k, n_valid=n_valid, **kw)
 
-    n_shards = mesh.shape[axis]
+    from matchmaker_tpu.parallel.mesh import axis_size
+
+    n_shards = axis_size(mesh, axis)
     shard_rows = corpus.shape[0] // n_shards
     if n_valid is None:
         n_valid = corpus.shape[0]

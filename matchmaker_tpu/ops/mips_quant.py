@@ -143,7 +143,7 @@ def sharded_quantized_topk(
     scales: jnp.ndarray,
     k: int,
     mesh: Optional[Mesh] = None,
-    axis: str = "data",
+    axis="data",  # a mesh axis name or a tuple of names (multi-host (dcn, ici))
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mesh-sharded version: per-chip quantized top-k + ICI merge."""
@@ -151,7 +151,9 @@ def sharded_quantized_topk(
     if mesh is None or len(mesh.devices.flatten()) == 1:
         return quantized_blocked_topk(queries, values, scales, k, n_valid=n_valid, **kw)
 
-    n_shards = mesh.shape[axis]
+    from matchmaker_tpu.parallel.mesh import axis_size
+
+    n_shards = axis_size(mesh, axis)
     shard_rows = values.shape[0] // n_shards
     if n_valid is None:
         n_valid = values.shape[0]

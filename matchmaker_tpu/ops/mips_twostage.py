@@ -86,7 +86,7 @@ def sharded_twostage_topk(
     scales: jnp.ndarray,
     k: int,
     mesh: Optional[Mesh] = None,
-    axis: str = "data",
+    axis="data",  # a mesh axis name or a tuple of names (multi-host (dcn, ici))
     rescore_corpus: Optional[jnp.ndarray] = None,
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -100,7 +100,9 @@ def sharded_twostage_topk(
             n_valid=n_valid, **kw
         )
 
-    n_shards = mesh.shape[axis]
+    from matchmaker_tpu.parallel.mesh import axis_size
+
+    n_shards = axis_size(mesh, axis)
     shard_rows = values.shape[0] // n_shards
     if n_valid is None:
         n_valid = values.shape[0]

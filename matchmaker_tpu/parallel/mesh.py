@@ -36,9 +36,27 @@ def make_mesh(axis_names: Sequence[str] = ("data",), devices=None, shape=None) -
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension over ``axis``, replicate the rest."""
-    return NamedSharding(mesh, P(axis))
+def corpus_axes(mesh: Mesh):
+    """The mesh axes corpus rows shard over — ALL of them, as one composite
+    axis. On a 1-axis ('data',) mesh this is just 'data'; on a multi-host
+    ('dcn', 'ici') mesh rows split over every chip and the top-k merge rides
+    ICI within each host group and DCN between groups (SURVEY §5.8)."""
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
+
+
+def axis_size(mesh: Mesh, axis) -> int:
+    """Total shard count along ``axis`` (a name or a tuple of names)."""
+    if isinstance(axis, (tuple, list)):
+        return int(np.prod([mesh.shape[a] for a in axis]))
+    return int(mesh.shape[axis])
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis`` (default: every mesh
+    axis — on a ('dcn', 'ici') mesh the batch splits over all chips),
+    replicate the rest."""
+    return NamedSharding(mesh, P(axis if axis is not None else corpus_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

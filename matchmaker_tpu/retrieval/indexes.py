@@ -123,8 +123,12 @@ class FlatIndex(BaseNNIndexer):
             return
         n_shards = 1
         vectors = self._vectors
+        axes = "data"
         if self.mesh is not None:
+            from matchmaker_tpu.parallel.mesh import corpus_axes
+
             n_shards = int(np.prod(list(self.mesh.shape.values())))
+            axes = corpus_axes(self.mesh)  # all mesh axes (multi-host ready)
         # pad rows so every shard is a whole number of rows; the binmax
         # kernel additionally needs each SHARD to be a multiple of its
         # padding grain (8192 covers per_bin 2..8: the candidate count per
@@ -154,16 +158,16 @@ class FlatIndex(BaseNNIndexer):
             if self.mesh is not None and n_shards > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                dv = jax.device_put(dv, NamedSharding(self.mesh, P("data", None)))
+                dv = jax.device_put(dv, NamedSharding(self.mesh, P(axes, None)))
                 if ds.ndim > 0:
-                    ds = jax.device_put(ds, NamedSharding(self.mesh, P("data")))
+                    ds = jax.device_put(ds, NamedSharding(self.mesh, P(axes)))
             rescore = None
             if self.twostage and self.rescore_dtype == "float16":
                 rescore = jnp.asarray(vectors, dtype=jnp.float16)
                 if self.mesh is not None and n_shards > 1:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
-                    rescore = jax.device_put(rescore, NamedSharding(self.mesh, P("data", None)))
+                    rescore = jax.device_put(rescore, NamedSharding(self.mesh, P(axes, None)))
             self._device_vectors = (dv, ds, rescore)
             approx, recall = self.approx, self.recall_target
             twostage, oversample = self.twostage, self.oversample
@@ -176,12 +180,12 @@ class FlatIndex(BaseNNIndexer):
                     from matchmaker_tpu.ops.mips_twostage import sharded_twostage_topk
 
                     return sharded_twostage_topk(
-                        queries, values, scales, k, mesh=mesh, block_size=block,
+                        queries, values, scales, k, mesh=mesh, axis=axes, block_size=block,
                         oversample=oversample, recall_target=recall,
                         rescore_corpus=rescore_corpus, n_valid=row_count,
                     )
                 return sharded_quantized_topk(
-                    queries, values, scales, k, mesh=mesh, block_size=block,
+                    queries, values, scales, k, mesh=mesh, axis=axes, block_size=block,
                     approx=approx, recall_target=recall, n_valid=row_count,
                 )
 
@@ -196,7 +200,7 @@ class FlatIndex(BaseNNIndexer):
             if self.mesh is not None and n_shards > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None)))
+                arr = jax.device_put(arr, NamedSharding(self.mesh, P(axes, None)))
             self._device_vectors = arr
             approx, recall = self.approx, self.recall_target
             scan_block = self.block_size if vectors.shape[0] > self.block_size else None
@@ -223,12 +227,13 @@ class FlatIndex(BaseNNIndexer):
                     want = int(min(8, max(2, -(-8 * k * 128 // row_count))))
                     per_bin = 1 << (want - 1).bit_length()
                     return sharded_binmax_topk(
-                        queries, corpus, k, mesh=mesh, n_valid=row_count, per_bin=per_bin,
+                        queries, corpus, k, mesh=mesh, axis=axes, n_valid=row_count,
+                        per_bin=per_bin,
                     )
                 from matchmaker_tpu.ops.mips_f16 import sharded_f16_scan_topk
 
                 return sharded_f16_scan_topk(
-                    queries, corpus, k, mesh=mesh, block_size=scan_block,
+                    queries, corpus, k, mesh=mesh, axis=axes, block_size=scan_block,
                     approx=False if use_binmax else approx, recall_target=recall,
                     n_valid=row_count,
                 )
@@ -240,12 +245,12 @@ class FlatIndex(BaseNNIndexer):
         if self.mesh is not None and n_shards > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None)))
+            arr = jax.device_put(arr, NamedSharding(self.mesh, P(axes, None)))
         self._device_vectors = arr
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def search_fn(queries, corpus, k):
-            return sharded_topk_mips(queries, corpus, k, mesh=mesh, block_size=block)
+            return sharded_topk_mips(queries, corpus, k, mesh=mesh, axis=axes, block_size=block)
 
         self._search_fn = search_fn
 
@@ -358,6 +363,7 @@ class IVFIndex(BaseNNIndexer):
         self._sorted_rows = None  # (N,) original row index per sorted row
         self._offsets = None  # (C+1,) cluster start offsets into sorted rows
         self._ids = None
+        self._shard_data = None  # lazily-built per-shard CSR partition
 
     def index(self, ids: np.ndarray, vectors: np.ndarray) -> None:
         self._ids = np.asarray(ids)
@@ -373,6 +379,7 @@ class IVFIndex(BaseNNIndexer):
         counts = np.bincount(assign, minlength=k)
         self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.n_clusters_eff = k
+        self._shard_data = None
 
     def _budget(self, nprobe: int) -> int:
         if self.candidate_rows:
@@ -382,7 +389,167 @@ class IVFIndex(BaseNNIndexer):
         r = int(self.candidate_slack * nprobe * mean_cluster)
         return min(n, -(-r // 128) * 128)
 
+    # -- mesh-sharded search (the faiss multi-GPU analog, faiss_indices.py:
+    # 106-145 via index_cpu_to_all_gpus): clusters are partitioned into
+    # contiguous ranges with ~balanced row counts; each chip owns its range's
+    # CSR rows, probes the GLOBAL top-nprobe centroids (identical on every
+    # chip — centroids are replicated), gathers candidates only for probed
+    # clusters it owns, computes a local top-k, and the per-chip partials
+    # merge over ICI exactly like the FlatIndex sharded scan. --------------
+
+    def _n_shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(np.prod(list(self.mesh.shape.values())))
+
+    def _ensure_sharded(self):
+        if self._shard_data is not None:
+            return
+        n_shards = self._n_shards()
+        offsets = self._offsets
+        n, d = self._sorted_vectors.shape
+        c = self.n_clusters_eff
+        # cluster cuts at the row boundaries nearest s·N/n_shards
+        targets = [round(s * n / n_shards) for s in range(n_shards + 1)]
+        cuts = np.searchsorted(offsets, targets, side="left")
+        cuts[0], cuts[-1] = 0, c
+        cuts = np.maximum.accumulate(np.clip(cuts, 0, c))
+        c_start = cuts[:-1].astype(np.int32)
+        c_count = np.diff(cuts).astype(np.int32)
+        c_max = max(1, int(c_count.max()))
+        rows_per = offsets[cuts[1:]] - offsets[cuts[:-1]]
+        s_rows = max(128, int(-(-int(rows_per.max()) // 128) * 128))
+        vecs = np.zeros((n_shards, s_rows, d), dtype=self.dtype)  # f16 default
+        rows_map = np.zeros((n_shards, s_rows), dtype=np.int64)
+        loffs = np.zeros((n_shards, c_max + 1), dtype=np.int64)
+        for s in range(n_shards):
+            rs, re = int(offsets[cuts[s]]), int(offsets[cuts[s + 1]])
+            length = re - rs
+            vecs[s, :length] = self._sorted_vectors[rs:re]
+            rows_map[s, :length] = self._sorted_rows[rs:re]
+            lo = offsets[cuts[s] : cuts[s + 1] + 1] - rs
+            loffs[s, : len(lo)] = lo
+            loffs[s, len(lo) :] = length
+        from jax.sharding import NamedSharding
+
+        mesh = self.mesh
+        put = lambda a, spec: jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+        from jax.sharding import PartitionSpec as P
+
+        from matchmaker_tpu.parallel.mesh import corpus_axes
+
+        axes = corpus_axes(mesh)
+        self._shard_data = {
+            "vecs": put(vecs, P(axes, None, None)),
+            "rows_map": put(rows_map, P(axes, None)),
+            "loffs": put(loffs, P(axes, None)),
+            "c_start": put(c_start, P(axes)),
+            "c_count": put(c_count, P(axes)),
+            "centroids": put(self._centroids.astype(np.float32), P()),
+            "c_max": c_max,
+            "s_rows": s_rows,
+        }
+
+    def _search_sharded(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        from jax.sharding import PartitionSpec as P
+
+        self._ensure_sharded()
+        from matchmaker_tpu.parallel.mesh import corpus_axes
+
+        sd = self._shard_data
+        mesh, n_shards = self.mesh, self._n_shards()
+        axes = corpus_axes(mesh)
+        nprobe = min(self.nprobe, self.n_clusters_eff)
+        mean_cluster = max(1.0, self._sorted_vectors.shape[0] / self.n_clusters_eff)
+        # per-shard budget: expected owned rows per query = nprobe·mean/shards
+        # (cluster ids are k-means-arbitrary → probes spread ~uniformly over
+        # shards); 2x the single-device slack absorbs skew, floor 256
+        if self.candidate_rows:
+            r_local = int(self.candidate_rows)
+        else:
+            r_local = int(2 * self.candidate_slack * nprobe * mean_cluster / n_shards)
+        r_local = min(sd["s_rows"], max(256, -(-r_local // 128) * 128))
+        c_max = sd["c_max"]
+        k_eff = min(top_n, r_local)
+        import functools as _ft
+
+        @jax.jit
+        def run_chunk(qc, vecs, rows_map, loffs, c_start, c_count, centroids):
+            @_ft.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(axes, None, None), P(axes, None), P(axes, None),
+                          P(axes), P(axes), P()),
+                out_specs=(P(None, axes), P(None, axes)),
+                check_vma=False,
+            )
+            def per_shard(qc, vecs, rows_map, loffs, c_start, c_count, centroids):
+                vecs, rows_map, loffs = vecs[0], rows_map[0], loffs[0]
+                c0, cn = c_start[0], c_count[0]
+                cent_scores = qc @ centroids.T  # (Qc, C) — replicated compute
+                probe = jax.lax.top_k(cent_scores, nprobe)[1]  # global, best-first
+                pl = probe - c0  # local cluster index of each probe
+                own = (pl >= 0) & (pl < cn)
+                plc = jnp.clip(pl, 0, c_max - 1)
+                starts = loffs[plc]
+                lens = jnp.where(own, loffs[plc + 1] - starts, 0)
+                prefix = jnp.concatenate(
+                    [jnp.zeros((qc.shape[0], 1), lens.dtype), jnp.cumsum(lens, axis=1)],
+                    axis=1,
+                )
+                total = prefix[:, -1]
+                j = jnp.arange(r_local, dtype=lens.dtype)
+                seg = jax.vmap(lambda p: jnp.searchsorted(p, j, side="right") - 1)(prefix)
+                seg = jnp.clip(seg, 0, nprobe - 1)
+                idx = jnp.take_along_axis(starts, seg, axis=1) + (
+                    j[None, :] - jnp.take_along_axis(prefix, seg, axis=1)
+                )
+                valid = j[None, :] < total[:, None]
+                idx = jnp.where(valid, idx, 0)
+                cand = vecs[idx]  # (Qc, R_local, D) local CSR gather
+                scores = jnp.einsum("qd,qrd->qr", qc, cand,
+                                    preferred_element_type=jnp.float32)
+                scores = jnp.where(valid, scores, -jnp.inf)
+                vals, pos = jax.lax.top_k(scores, k_eff)
+                sel = jnp.take_along_axis(idx, pos, axis=1)
+                rows = jnp.where(jnp.isfinite(vals), rows_map[sel], -1)
+                return vals, rows
+
+            part_vals, part_rows = per_shard(
+                qc, vecs, rows_map, loffs, c_start, c_count, centroids
+            )  # (Qc, k_eff·n_shards) each
+            vals, pos = jax.lax.top_k(part_vals, min(top_n, part_vals.shape[1]))
+            return vals, jnp.take_along_axis(part_rows, pos, axis=1)
+
+        q = np.asarray(queries, dtype=np.float32)
+        # bound the (Qc, R_local, D) per-shard gather working set to ~1 GB
+        chunk_q = max(1, int(1e9 / (r_local * q.shape[1] * 4)))
+        out_vals, out_rows = [], []
+        for start in range(0, len(q), chunk_q):
+            chunk = q[start : start + chunk_q]
+            pad = 0
+            if chunk.shape[0] < chunk_q and start > 0:
+                pad = chunk_q - chunk.shape[0]
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            v, r = run_chunk(
+                jnp.asarray(chunk), sd["vecs"], sd["rows_map"], sd["loffs"],
+                sd["c_start"], sd["c_count"], sd["centroids"],
+            )
+            v, r = np.asarray(v), np.asarray(r)
+            if pad:
+                v, r = v[:-pad], r[:-pad]
+            out_vals.append(v)
+            out_rows.append(r)
+        vals, rows = np.concatenate(out_vals), np.concatenate(out_rows)
+        if vals.shape[1] < top_n:
+            padw = top_n - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, padw)), constant_values=-np.inf)
+            rows = np.pad(rows, ((0, 0), (0, padw)), constant_values=-1)
+        return gather_ids(self._ids, rows, len(self._ids), vals)
+
     def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._n_shards() > 1:
+            return self._search_sharded(queries, top_n)
         q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
         centroids = jnp.asarray(self._centroids)
         corpus = jnp.asarray(self._sorted_vectors, dtype=jnp.float32)
@@ -470,6 +637,7 @@ class IVFIndex(BaseNNIndexer):
         self._offsets = data["offsets"]
         self._ids = data["ids"]
         self.n_clusters_eff = self._centroids.shape[0]
+        self._shard_data = None
 
 
 class DynamicClusterIndex(BaseNNIndexer):
@@ -542,9 +710,9 @@ class StreamingFlatIndex(BaseNNIndexer):
     TPU equivalent of faiss's sharded on-disk index
     (FaissShardedOnDiskIdIndexer, faiss_indices.py:147-293): the encode phase's
     memmapped ``token_reps_N.npy`` blocks ARE the index — search streams each
-    block host→HBM (double-buffered by jax's async dispatch), computes the
-    block's top-k on device, and merges per-block partials host-side. Capacity
-    is bounded by disk, not HBM."""
+    block host→HBM and keeps a device-side running top-k, with no host sync
+    until the final fetch (disk read + H2D of block i+1 overlap block i's
+    compute; see :meth:`search`). Capacity is bounded by disk, not HBM."""
 
     def __init__(self, config=None, mesh=None):
         super().__init__(config)
@@ -581,25 +749,55 @@ class StreamingFlatIndex(BaseNNIndexer):
         self._offsets = np.array([0, len(vectors)])
 
     def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Streamed exact top-k: per-block top-k with a DEVICE-side running
+        merge and no host sync inside the loop.
+
+        The loop body only *dispatches* async work (host→HBM copy of the next
+        block, the block's matmul+top-k, a (Q, 2k)-wide merge against the
+        running result); nothing is fetched until the end, so while the device
+        computes block i the host is already reading block i+1 from disk and
+        its H2D copy rides the DMA engine under the compute. Blocks are padded
+        to one uniform shape (traced ``n_valid`` masks the tail) so the whole
+        stream is exactly two compiled programs."""
         q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
+        if not self._blocks:
+            empty = np.full((q.shape[0], top_n), -np.inf, np.float32)
+            return empty, np.full((q.shape[0], top_n), -1)
+        block_rows = max(b.shape[0] for b in self._blocks)
+        k = min(top_n, block_rows)
+        dim = self._blocks[0].shape[1]
 
         @jax.jit
-        def block_topk(q, block):
+        def block_topk(q, block, n_valid, offset):
             scores = jnp.einsum("qd,nd->qn", q, block, preferred_element_type=jnp.float32)
-            k = min(top_n, block.shape[1 - 1])
-            return jax.lax.top_k(scores, k)
+            row = jnp.arange(scores.shape[1])
+            scores = jnp.where(row[None, :] < n_valid, scores, -jnp.inf)
+            vals, idx = jax.lax.top_k(scores, k)
+            idx = jnp.where(jnp.isfinite(vals), idx + offset, -1)
+            return vals, idx
 
-        all_vals, all_idx = [], []
-        for bi, block in enumerate(self._blocks):
-            dev = jnp.asarray(np.asarray(block), dtype=jnp.float32)
-            v, i = block_topk(q, dev)
-            all_vals.append(np.asarray(v))
-            all_idx.append(np.asarray(i) + self._offsets[bi])
-        vals = np.concatenate(all_vals, axis=1)
-        idx = np.concatenate(all_idx, axis=1)
-        order = np.argsort(-vals, axis=1)[:, :top_n]
-        vals = np.take_along_axis(vals, order, axis=1)
-        idx = np.take_along_axis(idx, order, axis=1)
+        @jax.jit
+        def merge(vals_a, idx_a, vals_b, idx_b):
+            v = jnp.concatenate([vals_a, vals_b], axis=1)
+            i = jnp.concatenate([idx_a, idx_b], axis=1)
+            mv, pos = jax.lax.top_k(v, k)
+            return mv, jnp.take_along_axis(i, pos, axis=1)
+
+        def put(bi):
+            # disk read (memmap materialize) + async H2D; zero-pad to the
+            # uniform block shape so one compile serves every block
+            arr = np.asarray(self._blocks[bi], dtype=np.float32)
+            if arr.shape[0] < block_rows:
+                arr = np.pad(arr, ((0, block_rows - arr.shape[0]), (0, 0)))
+            return jax.device_put(arr), self._blocks[bi].shape[0]
+
+        dev, nv = put(0)
+        merged_v, merged_i = block_topk(q, dev, nv, self._offsets[0])
+        for bi in range(1, len(self._blocks)):
+            dev, nv = put(bi)  # host work overlaps the device's previous block
+            v, i = block_topk(q, dev, nv, self._offsets[bi])
+            merged_v, merged_i = merge(merged_v, merged_i, v, i)
+        vals, idx = np.asarray(merged_v), np.asarray(merged_i)  # single sync
         if vals.shape[1] < top_n:
             pad = top_n - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
