@@ -52,7 +52,42 @@ def make_loss_fn(model, losses: LossBundle, config):
     qa_weight = config.get("qa_loss_lambda", 0.2)
     per_term_weight = config.get("per_term_loss_weight", 0.5)
 
+    def list_loss_fn(params, batch):
+        # listwise dynamic batches (data/list_sampler.py): one positive +
+        # candidate + random negatives per query with graded labels — all Q·L
+        # (query, doc) pairs scored in ONE forward (the reference scores the
+        # same lists through ragged instance batches, list_training_loader.py)
+        if not losses.use_list_loss:
+            raise ValueError(
+                "list batches require a listwise loss (ListNet/LambdaLoss/...)"
+            )
+        d_ids, d_mask = batch["list_doc_ids"], batch["list_doc_mask"]
+        qn, l, ld = d_ids.shape
+        flat = {
+            "query_ids": jnp.repeat(batch["query_ids"], l, axis=0),
+            "query_mask": jnp.repeat(batch["query_mask"], l, axis=0),
+            "doc_ids": d_ids.reshape(qn * l, ld),
+            "doc_mask": d_mask.reshape(qn * l, ld),
+        }
+        out = model.apply({"params": params}, flat)
+        scores = out["score"].reshape(qn, l)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(qn, dtype=jnp.float32)
+        mask = valid[:, None] * jnp.ones_like(scores)
+        loss = losses.ranking_loss(scores, batch["list_labels"], mask)
+        stats = {
+            "ranking_loss": loss,
+            "loss": loss,
+            "score_pos_mean": (scores[:, 0] * valid).sum() / jnp.maximum(valid.sum(), 1),
+            "score_neg_mean": (scores[:, 1:].mean(axis=1) * valid).sum()
+            / jnp.maximum(valid.sum(), 1),
+        }
+        return loss, stats
+
     def loss_fn(params, batch):
+        if "list_doc_ids" in batch:
+            return list_loss_fn(params, batch)
         pos_batch, neg_batch = split_triple_batch(batch)
         valid = batch.get("valid")
         if valid is None:

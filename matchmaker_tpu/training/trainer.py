@@ -177,7 +177,21 @@ class Trainer:
             teacher = DynamicTeacher(config)
 
         sampler = None
-        if config.get("dynamic_sampler", False):
+        if config.get("dynamic_sampler", False) == "listwise":
+            # qrels + candidate-run list sampler feeding the listwise losses
+            # (reference IrDynamicTripleDatasetLoader, list_training_loader.py:30)
+            from matchmaker_tpu.data.list_sampler import ListwiseDynamicSampler
+
+            sampler = ListwiseDynamicSampler(
+                collection_file=config["dynamic_sampler_collection"],
+                query_file=config["dynamic_sampler_queries"],
+                qrels_file=config["dynamic_sampler_qrels"],
+                candidate_file=config["dynamic_sampler_candidates"],
+                list_size=config.get("list_size", 8),
+                queries_per_batch=config.get("queries_per_batch", 4),
+                seed=config.get("random_seed", 42),
+            )
+        elif config.get("dynamic_sampler", False):
             from matchmaker_tpu.data.tas_balanced import TASBalancedSampler
 
             sampler = TASBalancedSampler(

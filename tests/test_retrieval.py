@@ -551,3 +551,29 @@ def test_two_axis_dcn_ici_mesh_search_and_train(rng, eight_devices):
     new_params, _, stats = step(params, tx.init(params), device_batch)
     jax.block_until_ready(new_params)
     assert np.isfinite(float(np.asarray(stats["loss"])))
+
+
+def test_hnsw_build_rate_pinned(rng):
+    """Single-core HNSW construction rate regression pin (VERDICT r2
+    next-10): round 2 measured ~2.2k adds/s at efC=80/M=16 on this 1-core
+    container; the floor sits at ~1/3 of that so container jitter can't
+    flake while a real construction regression (e.g. an accidental
+    efC/M blowup or a lost OpenMP pragma) still trips it."""
+    import time
+
+    from matchmaker_tpu.retrieval.hnsw import HNSWIndex, hnsw_available
+
+    if not hnsw_available():
+        pytest.skip("native hnsw lib not built")
+    n, d = 4000, 32
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    index = HNSWIndex({
+        "faiss_hnsw_graph_neighbors": 16, "hnsw_ef_construction": 80,
+        "token_dtype": "float32",
+    })
+    index.prepare(d)
+    t0 = time.perf_counter()
+    index.index(np.arange(n), vectors)
+    dt = time.perf_counter() - t0
+    rate = n / dt
+    assert rate >= 700, f"HNSW build rate collapsed: {rate:.0f} adds/s"
