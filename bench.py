@@ -38,9 +38,14 @@ def bench_encode(jax, batch_size=1024, seq_len=128, n_iters=10):
     from matchmaker_tpu.models.encoder import EncoderConfig
 
     # norms_in_compute_dtype: bf16 LayerNorms/residuals on the inference
-    # encode path (+2.8% measured; benchmarks/encode_sweep.py)
+    # encode path (+2.8% measured; benchmarks/encode_sweep.py).
+    # fused_attention: whole-layer Pallas kernels (attention half + MLP half,
+    # ops/fused_attention.py) — +26% measured (12.2k vs 9.7k psg/s): logits
+    # and the FF intermediate never touch HBM, LayerNorms fused in-kernel
     model = BertDot(
-        encoder_cfg=EncoderConfig.distilbert(norms_in_compute_dtype=True),
+        encoder_cfg=EncoderConfig.distilbert(
+            norms_in_compute_dtype=True, fused_attention=True
+        ),
         return_vecs=False, compute_dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)

@@ -95,11 +95,41 @@ def main():
     print(f"[colbert-bench] host MaxSim merge: {host_t*1e3:.1f} ms/batch = {qps_host:.0f} QPS",
           flush=True)
 
+    # phase 2b: DEVICE MaxSim merge (round 3) — the no-sort segmented
+    # max-sum (retrieval/colbert_search._device_maxsim_merge): candidates
+    # stay in HBM between search and aggregation
+    from matchmaker_tpu.retrieval.colbert_search import _device_maxsim_merge
+
+    slots_d = jnp.asarray(idx.astype(np.int32))
+    scores_d = jnp.asarray(scores)
+    valid_d = jnp.isfinite(scores_d) & (slots_d >= 0)
+
+    @jax.jit
+    def dev_merge(s, d, v, seed):
+        vals, sel = _device_maxsim_merge(s + seed * 1e-12, d, v, 100)
+        return vals.sum() + (sel.sum() % 2).astype(jnp.float32)
+
+    seed = dev_merge(scores_d, slots_d, valid_d, jnp.float32(0)); _ = float(seed)
+    best_m = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = seed
+        for _ in range(args.iters):
+            s = dev_merge(scores_d, slots_d, valid_d, s)
+        _ = float(s)
+        best_m = min(best_m, (time.perf_counter() - t0) / args.iters)
+    qps_devmerge = args.batch / best_m
+    print(f"[colbert-bench] device MaxSim merge: {best_m*1e3:.1f} ms/batch = "
+          f"{qps_devmerge:.0f} QPS", flush=True)
+
     composite = 1.0 / (1.0 / qps_dev + 1.0 / qps_host)
+    composite_dev = 1.0 / (1.0 / qps_dev + 1.0 / qps_devmerge)
     print(json.dumps({
         "token_rows": args.token_rows, "batch": args.batch, "query_len": args.query_len,
         "device_search_qps": round(qps_dev, 1), "host_merge_qps": round(qps_host, 1),
+        "device_merge_qps": round(qps_devmerge, 1),
         "composite_qps": round(composite, 1),
+        "composite_device_qps": round(composite_dev, 1),
     }))
 
 

@@ -147,6 +147,10 @@ def run(mode: str, config, run_folder: str) -> int:
                 per_token_candidates=config.get("colbert_per_token_candidates", 64),
                 rescore_store=rescore_store,
                 rescore_n=rescore_n,
+                # on-device segmented max-sum merge (7x the host merge on
+                # chip; benchmarks/colbert_benchmark.py) — disable to force
+                # the numpy reduceat path
+                device_merge=bool(config.get("colbert_device_merge", True)),
             )
         else:
             results = search_queries(

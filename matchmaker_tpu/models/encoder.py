@@ -39,6 +39,11 @@ class EncoderConfig:
     # train.py:251); the inference encode path can enable it to keep every
     # elementwise op in bf16 — fewer HBM bytes between the matmuls.
     norms_in_compute_dtype: bool = False
+    # Fused Pallas self-attention (ops/fused_attention.py): logits never
+    # touch HBM, no head transposes — measured 2.3x the XLA attention at
+    # encode shapes (B=1024, L=128). Forward-only, so inference paths only;
+    # the adapter falls back to flax attention under active dropout.
+    fused_attention: bool = False
 
     @classmethod
     def distilbert(cls, **kw):
@@ -58,6 +63,80 @@ class EncoderConfig:
         return cls(**{**defaults, **kw})
 
 
+class _AttnParams(nn.Module):
+    """Bare kernel+bias holder matching one DenseGeneral's param names."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.kernel_shape)
+        bias = self.param("bias", nn.initializers.zeros_init(), self.bias_shape)
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """scale+bias holder matching nn.LayerNorm's param names."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return scale, bias
+
+
+class FusedMHABlock(nn.Module):
+    """The attention half of a post-norm layer — LN(x + OutProj(MHA(x))) —
+    as ONE Pallas kernel (ops/fused_attention.py: projections, softmax,
+    output accumulation, AND the following LayerNorm fused; Q/K/V and the
+    logits never touch HBM, and no XLA op ever consumes the custom-call
+    result through a reduce — that pattern lowers via a 10+ ms/layer
+    layout-materialization fusion, measured).
+
+    Param tree is IDENTICAL to ``nn.MultiHeadDotProductAttention`` +
+    ``nn.LayerNorm`` (query/key/value/out kernels+biases; the LN params are
+    created by the EncoderLayer under the usual ``attention_norm`` name),
+    so checkpoints and the HF import are oblivious to which implementation
+    runs."""
+
+    num_heads: int
+    features: int
+    ln_eps: float = 1e-12
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, key_mask, ln_scale, ln_bias, deterministic=True):
+        h, hid = self.num_heads, self.features
+        d = hid // h
+        wq, bq = _AttnParams((hid, h, d), (h, d), name="query")()
+        wk, bk = _AttnParams((hid, h, d), (h, d), name="key")()
+        wv, bv = _AttnParams((hid, h, d), (h, d), name="value")()
+        wo, bo = _AttnParams((h, d, hid), (hid,), name="out")()
+        cd = self.compute_dtype
+        args = (
+            x.astype(cd),
+            wq.reshape(hid, hid).astype(cd), wk.reshape(hid, hid).astype(cd),
+            wv.reshape(hid, hid).astype(cd), wo.reshape(hid, hid).astype(cd),
+            bq.reshape(hid).astype(jnp.float32), bk.reshape(hid).astype(jnp.float32),
+            bv.reshape(hid).astype(jnp.float32), bo.astype(jnp.float32),
+            key_mask, h,
+            ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+        )
+        from matchmaker_tpu.ops.fused_attention import (
+            fused_attention_block,
+            reference_attention_block,
+        )
+
+        if deterministic:
+            return fused_attention_block(*args, ln_eps=self.ln_eps)
+        # training fallback: same math in XLA (the kernel is forward-only);
+        # note attention-prob dropout is a no-op on this path
+        return reference_attention_block(*args, ln_eps=self.ln_eps)
+
+
 class EncoderLayer(nn.Module):
     cfg: EncoderConfig
     compute_dtype: jnp.dtype = jnp.float32
@@ -66,16 +145,50 @@ class EncoderLayer(nn.Module):
     def __call__(self, x, attn_mask, deterministic=True):
         cfg = self.cfg
         ln_dtype = self.compute_dtype if cfg.norms_in_compute_dtype else None
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.num_heads,
-            qkv_features=cfg.hidden_size,
-            out_features=cfg.hidden_size,
-            dropout_rate=cfg.dropout,
-            deterministic=deterministic,
-            dtype=self.compute_dtype,
-            name="attention",
-        )(x, x, x, mask=attn_mask)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=ln_dtype, name="attention_norm")(x + h)
+        if cfg.fused_attention:
+            key_mask = attn_mask[:, 0, 0, :].astype(jnp.float32)
+            # the attention_norm LayerNorm runs INSIDE the kernel; its params
+            # keep their usual name/shape via the holder module
+            ln_scale, ln_bias = _LNParams(cfg.hidden_size, name="attention_norm")()
+            x = FusedMHABlock(
+                num_heads=cfg.num_heads,
+                features=cfg.hidden_size,
+                ln_eps=cfg.layer_norm_eps,
+                compute_dtype=self.compute_dtype,
+                name="attention",
+            )(x, key_mask, ln_scale, ln_bias, deterministic)
+        else:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads,
+                qkv_features=cfg.hidden_size,
+                out_features=cfg.hidden_size,
+                dropout_rate=cfg.dropout,
+                deterministic=deterministic,
+                dtype=self.compute_dtype,
+                name="attention",
+            )(x, x, x, mask=attn_mask)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=ln_dtype, name="attention_norm")(x + h)
+        if cfg.fused_attention:
+            # MLP half fused the same way (ops/fused_attention.fused_mlp_block):
+            # the (B, L, FF) intermediate never exists in HBM, and the
+            # mlp_norm runs in-kernel (an XLA reduce over a custom-call
+            # result hits the slow layout-materialization fusion)
+            w1, b1 = _AttnParams((cfg.hidden_size, cfg.intermediate_size),
+                                 (cfg.intermediate_size,), name="mlp_in")()
+            w2, b2 = _AttnParams((cfg.intermediate_size, cfg.hidden_size),
+                                 (cfg.hidden_size,), name="mlp_out")()
+            ln2_scale, ln2_bias = _LNParams(cfg.hidden_size, name="mlp_norm")()
+            from matchmaker_tpu.ops.fused_attention import (
+                fused_mlp_block,
+                reference_mlp_block,
+            )
+
+            cd = self.compute_dtype
+            mlp_args = (x.astype(cd), w1.astype(cd), b1, w2.astype(cd), b2,
+                        ln2_scale, ln2_bias)
+            if deterministic:
+                return fused_mlp_block(*mlp_args, ln_eps=cfg.layer_norm_eps)
+            return reference_mlp_block(*mlp_args, ln_eps=cfg.layer_norm_eps)
         h = nn.Dense(cfg.intermediate_size, dtype=self.compute_dtype, name="mlp_in")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="mlp_out")(h)
@@ -165,14 +278,24 @@ def encoder_config_from_model_name(config) -> EncoderConfig:
     architecture family and weights start random.
     """
     name = str(config.get("bert_pretrained_model", "distilbert-base-uncased"))
+    import dataclasses
     import os
 
     if os.path.isdir(name):
         from matchmaker_tpu.models.hf_import import load_hf_encoder_config
 
-        return load_hf_encoder_config(name)
-    if "tiny" in name:
-        return EncoderConfig.tiny()
-    if "distilbert" in name:
-        return EncoderConfig.distilbert()
-    return EncoderConfig.bert_base()
+        cfg = load_hf_encoder_config(name)
+    elif "tiny" in name:
+        cfg = EncoderConfig.tiny()
+    elif "distilbert" in name:
+        cfg = EncoderConfig.distilbert()
+    else:
+        cfg = EncoderConfig.bert_base()
+    # inference-speed options, YAML-selectable (benchmarked in
+    # benchmarks/encode_sweep.py; both off by default = training semantics)
+    overrides = {}
+    if config.get("encoder_bf16_norms"):
+        overrides["norms_in_compute_dtype"] = True
+    if config.get("encoder_fused_attention"):
+        overrides["fused_attention"] = True
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg

