@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--max-query", type=int, default=30)
     ap.add_argument("--max-doc", type=int, default=200)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--fused", action="store_true",
+                    help="fused whole-layer Pallas kernels incl. custom-VJP backward")
     args = ap.parse_args()
 
     from matchmaker_tpu.losses import get_loss
@@ -51,7 +53,8 @@ def main():
         "optimizer_warmup_steps": 1000,
         "learning_rate": 7e-6,
     }
-    model = BertDot(encoder_cfg=EncoderConfig.distilbert(), return_vecs=True,
+    enc_cfg = EncoderConfig.distilbert(fused_attention=args.fused)
+    model = BertDot(encoder_cfg=enc_cfg, return_vecs=True,
                     compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     b, mq, md = args.batch, args.max_query, args.max_doc
@@ -96,6 +99,7 @@ def main():
         "steps_per_s": round(1 / best, 2),
         "triples_per_s": round(b / best, 1),
         "batch": b,
+        "fused": bool(args.fused),
         "bf16_mfu_est": round(mfu, 3),
     }
     print(f"[train-bench] {result}")

@@ -126,14 +126,18 @@ class FusedMHABlock(nn.Module):
             ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
         )
         from matchmaker_tpu.ops.fused_attention import (
-            fused_attention_block,
+            _on_tpu,
             reference_attention_block,
         )
+        from matchmaker_tpu.ops.fused_backward import fused_attention_block_train
 
-        if deterministic:
-            return fused_attention_block(*args, ln_eps=self.ln_eps)
-        # training fallback: same math in XLA (the kernel is forward-only);
-        # note attention-prob dropout is a no-op on this path
+        if deterministic or _on_tpu():
+            # differentiable: Pallas forward + Pallas backward (custom VJP,
+            # ops/fused_backward.py) — training runs the fused kernels too.
+            # Attention-prob dropout is a no-op on the fused path (documented
+            # trade; the off-TPU non-deterministic branch below matches).
+            return fused_attention_block_train(*args, ln_eps=self.ln_eps)
+        # off-TPU training fallback: same math in XLA (fast for CPU tests)
         return reference_attention_block(*args, ln_eps=self.ln_eps)
 
 
@@ -179,15 +183,17 @@ class EncoderLayer(nn.Module):
                                  (cfg.hidden_size,), name="mlp_out")()
             ln2_scale, ln2_bias = _LNParams(cfg.hidden_size, name="mlp_norm")()
             from matchmaker_tpu.ops.fused_attention import (
-                fused_mlp_block,
+                _on_tpu,
                 reference_mlp_block,
             )
+            from matchmaker_tpu.ops.fused_backward import fused_mlp_block_train
 
             cd = self.compute_dtype
             mlp_args = (x.astype(cd), w1.astype(cd), b1, w2.astype(cd), b2,
                         ln2_scale, ln2_bias)
-            if deterministic:
-                return fused_mlp_block(*mlp_args, ln_eps=cfg.layer_norm_eps)
+            if deterministic or _on_tpu():
+                # differentiable fused MLP half (custom VJP, fused_backward.py)
+                return fused_mlp_block_train(*mlp_args, ln_eps=cfg.layer_norm_eps)
             return reference_mlp_block(*mlp_args, ln_eps=cfg.layer_norm_eps)
         h = nn.Dense(cfg.intermediate_size, dtype=self.compute_dtype, name="mlp_in")(x)
         h = nn.gelu(h, approximate=False)

@@ -1,0 +1,481 @@
+"""Training-capable fused transformer-layer kernels (custom VJP).
+
+Round-3 forward kernels (ops/fused_attention.py) made the ENCODE path 26%
+faster by keeping logits / the FF intermediate / the LayerNorms inside VMEM.
+This module extends both whole-layer kernels to TRAINING: each block gets a
+``jax.custom_vjp`` whose forward is the existing Pallas kernel and whose
+backward is ONE Pallas kernel that recomputes the layer's intermediates from
+the block input (flash-style) and emits every gradient — dx plus all weight
+grads — without any (B, L, L) logits or (B, L, FF) intermediate ever touching
+HBM in either direction.
+
+Why recompute instead of saving residuals: the lesson of the forward work is
+that these layers are HBM-bound, not FLOP-bound, at ranking shapes
+(L ≤ 200). Saving softmax probs / the FF intermediate for the backward would
+write exactly the tensors the forward kernel exists to avoid (245 MB/layer of
+logits at B=128, L=200). Recomputing them costs ~1 extra forward of MXU time,
+which the saved HBM round-trips more than repay — the same trade
+flash-attention's backward makes.
+
+Weight gradients are accumulated across the (sequential on TPU) batch-block
+grid into f32 output blocks that map to the same block index every step, the
+standard Mosaic revisit-accumulate pattern: zero-init at program_id 0, += on
+every step, written back once at the end.
+
+Training semantics note: like the existing fused-path training fallback
+(models/encoder.py FusedMHABlock), dropout inside the layer is a no-op when
+``encoder_fused_attention`` is on — the reference's AMP training keeps
+dropout (train.py:251), so fused training is an opt-in speed/regularization
+trade, documented in docs/tpu_design.md.
+
+Replaces: the reference's torch autograd over HF transformer layers
+(reference train.py:319-543 hot loop; models/bert_dot.py:28-40).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from matchmaker_tpu.ops.fused_attention import (
+    _GROUP_HEADS,
+    _erf_poly,
+    _gelu_exact,
+    _on_tpu,
+    fused_attention_block,
+    fused_mlp_block,
+    reference_attention_block,
+    reference_mlp_block,
+)
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+# Test hook: when True, the custom-vjp backward runs the Pallas kernels even
+# off-TPU (interpret mode) so CPU tests exercise the kernel math; by default
+# off-TPU backward uses autodiff of the reference blocks (fast on CPU).
+FORCE_PALLAS_BWD = False
+
+
+def _use_pallas_bwd() -> bool:
+    return _on_tpu() or FORCE_PALLAS_BWD
+
+
+def _gelu_grad(z):
+    """d/dz [ 0.5·z·(1+erf(z/√2)) ] = Φ(z) + z·φ(z)."""
+    cdf = 0.5 * (1.0 + _erf_poly(z * 0.7071067811865476))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+    return cdf + z * pdf
+
+
+def _ln_backward(acc, dy, g, ln_eps):
+    """Backward of y = LN(acc)·g + b: returns (dacc, dg_partial, dbe_partial).
+
+    acc/dy: (Bb, L, H) f32. Partial sums are this block's contribution to the
+    (H,) param grads; the caller accumulates across grid steps.
+    """
+    h = acc.shape[-1]
+    mean = acc.mean(axis=-1, keepdims=True)
+    var = ((acc - mean) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    yhat = (acc - mean) * rstd
+    dg = (dy * yhat).sum(axis=(0, 1))
+    dbe = dy.sum(axis=(0, 1))
+    dyh = dy * g
+    m1 = dyh.mean(axis=-1, keepdims=True)
+    m2 = (dyh * yhat).mean(axis=-1, keepdims=True)
+    dacc = rstd * (dyh - m1 - yhat * m2)
+    del h
+    return dacc, dg, dbe
+
+
+# ---- MLP half: backward kernel -------------------------------------------
+
+
+def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
+                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
+                    dbe_ref, *, ff_chunks, ln_eps):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+
+    xb = x_ref[...]  # (Bb, L, H) bf16
+    dy = dy_ref[...].astype(jnp.float32)
+    ff = w1_ref.shape[1]
+    ch = ff // ff_chunks
+
+    def z_chunk(sl):
+        # pre-gelu chunk; recomputed in both passes (deterministic, so pass 2
+        # sees bit-identical values) — an extra MXU matmul per chunk is
+        # cheaper than an f32 (Bb, L, FF) VMEM scratch at production shapes
+        return jax.lax.dot_general(
+            xb, w1_ref[...][:, sl], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[...][sl]
+
+    # pass 1: recompute acc chunk-by-chunk
+    acc = xb.astype(jnp.float32) + b2_ref[...]
+    for c in range(ff_chunks):
+        sl = slice(c * ch, (c + 1) * ch)
+        acc = acc + jax.lax.dot_general(
+            _gelu_exact(z_chunk(sl)).astype(xb.dtype), w2_ref[...][sl, :],
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    dacc, dg, dbe = _ln_backward(acc, dy, g_ref[...], ln_eps)
+    dg_ref[...] += dg
+    dbe_ref[...] += dbe
+    db2_ref[...] += dacc.sum(axis=(0, 1))
+    dacc_lp = dacc.astype(xb.dtype)
+    dx = dacc  # residual path, f32
+    # pass 2: per-chunk weight grads + dx
+    for c in range(ff_chunks):
+        sl = slice(c * ch, (c + 1) * ch)
+        z = z_chunk(sl)
+        hc = _gelu_exact(z).astype(xb.dtype)
+        # dW2_c: (ch, H) — contract batch and length
+        dw2_ref[sl, :] += jax.lax.dot_general(
+            hc, dacc_lp, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh = jax.lax.dot_general(
+            dacc_lp, w2_ref[...][sl, :], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dz = (dh * _gelu_grad(z)).astype(xb.dtype)
+        dw1_ref[:, sl] += jax.lax.dot_general(
+            xb, dz, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1_ref[sl] += dz.astype(jnp.float32).sum(axis=(0, 1))
+        dx = dx + jax.lax.dot_general(
+            dz, w1_ref[...][:, sl], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _mlp_block_bwd_pallas(x, w1, b1, w2, b2, g, dy, ln_eps, block_b, ff_chunks,
+                          interpret):
+    b, l, hid = x.shape
+    ff = w1.shape[1]
+    l_pad = -(-l // 8) * 8
+    if l_pad != l:
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        dy = jnp.pad(dy, ((0, 0), (0, l_pad - l), (0, 0)))
+    b_pad = -(-b // block_b) * block_b
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
+        dy = jnp.pad(dy, ((0, b_pad - b), (0, 0), (0, 0)))
+    kernel = functools.partial(_mlp_bwd_kernel, ff_chunks=ff_chunks, ln_eps=ln_eps)
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc_spec = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b_pad // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
+            pl.BlockSpec((hid, ff), lambda i: (0, 0)),
+            pl.BlockSpec((ff,), lambda i: (0,)),
+            pl.BlockSpec((ff, hid), lambda i: (0, 0)),
+            pl.BlockSpec((hid,), lambda i: (0,)),
+            pl.BlockSpec((hid,), lambda i: (0,)),
+            pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
+            acc_spec((hid, ff)), acc_spec((ff,)),
+            acc_spec((ff, hid)), acc_spec((hid,)),
+            acc_spec((hid,)), acc_spec((hid,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype),
+            jax.ShapeDtypeStruct((hid, ff), jnp.float32),
+            jax.ShapeDtypeStruct((ff,), jnp.float32),
+            jax.ShapeDtypeStruct((ff, hid), jnp.float32),
+            jax.ShapeDtypeStruct((hid,), jnp.float32),
+            jax.ShapeDtypeStruct((hid,), jnp.float32),
+            jax.ShapeDtypeStruct((hid,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
+      g.astype(jnp.float32), dy)
+    dx, dw1, db1, dw2, db2, dg, dbe = outs
+    return dx[:b, :l], dw1, db1, dw2, db2, dg, dbe
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_mlp_block_train(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                          ln_eps=1e-12, block_b=8, ff_chunks=4):
+    """Differentiable LN(x + W2·gelu(W1·x + b1) + b2): Pallas fwd AND bwd."""
+    return fused_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                           ln_eps=ln_eps, block_b=16, ff_chunks=ff_chunks)
+
+
+def _mlp_train_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, ln_eps, block_b, ff_chunks):
+    out = fused_mlp_block_train(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                                ln_eps, block_b, ff_chunks)
+    return out, (x, w1, b1, w2, b2, ln_scale)
+
+
+def _mlp_train_bwd(ln_eps, block_b, ff_chunks, res, dy):
+    x, w1, b1, w2, b2, ln_scale = res
+    if _use_pallas_bwd():
+        dx, dw1, db1, dw2, db2, dg, dbe = _mlp_block_bwd_pallas(
+            x, w1, b1, w2, b2, ln_scale, dy.astype(x.dtype), ln_eps, block_b,
+            ff_chunks, interpret=not _on_tpu())
+    else:
+        # off-TPU: autodiff of the reference math (tests/CPU)
+        def ref(x_, w1_, b1_, w2_, b2_, g_, be_):
+            return reference_mlp_block(x_, w1_, b1_, w2_, b2_, g_, be_, ln_eps)
+
+        be0 = jnp.zeros_like(ln_scale)
+        _, vjp = jax.vjp(ref, x, w1, b1, w2, b2, ln_scale, be0)
+        dx, dw1, db1, dw2, db2, dg, dbe = vjp(dy)
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dg.astype(ln_scale.dtype), dbe.astype(ln_scale.dtype))
+
+
+fused_mlp_block_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
+
+
+# ---- attention half: backward kernel -------------------------------------
+
+
+def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
+                     bv_ref, bo_ref, m_ref, g_ref, dy_ref,
+                     dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dbq_ref,
+                     dbk_ref, dbv_ref, dbo_ref, dg_ref, dbe_ref, a_scr,
+                     *, n_heads, head_dim, scale, ln_eps):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dwq_ref, dwk_ref, dwv_ref, dwo_ref, dbq_ref, dbk_ref,
+                    dbv_ref, dbo_ref, dg_ref, dbe_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    xb = x_ref[...]  # (Bb, L, HID) bf16
+    dy = dy_ref[...].astype(jnp.float32)
+    neg = (m_ref[...] - 1.0) * 1e9
+    gh = _GROUP_HEADS
+
+    def proj(w_ref, b_ref, gl):
+        return (jax.lax.dot_general(
+            xb, w_ref[...][:, gl], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[...][gl]).astype(xb.dtype)
+
+    def heads(qg, kg, vg):
+        """Per-head softmax probs p_h and outputs a_h for one group."""
+        ps, parts = [], []
+        for h in range(gh):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                qg[:, :, sl], kg[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + neg[:, None, :]
+            s = s - s.max(axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / p.sum(axis=-1, keepdims=True)
+            ps.append(p)
+            parts.append(jax.lax.dot_general(
+                p.astype(xb.dtype), vg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(xb.dtype))
+        return ps, jnp.concatenate(parts, axis=-1)
+
+    # pass 1: recompute acc (and stash the per-group attention outputs — the
+    # only fwd intermediate small enough to keep: (Bb, L, HID) bf16)
+    acc = xb.astype(jnp.float32) + bo_ref[...]
+    for gi in range(n_heads // gh):
+        gl = slice(gi * gh * head_dim, (gi + 1) * gh * head_dim)
+        qg = proj(wq_ref, bq_ref, gl)
+        kg = proj(wk_ref, bk_ref, gl)
+        vg = proj(wv_ref, bv_ref, gl)
+        _, ag = heads(qg, kg, vg)
+        a_scr[:, :, gl] = ag.astype(a_scr.dtype)
+        acc = acc + jax.lax.dot_general(
+            ag, wo_ref[...][gl, :], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dacc, dg, dbe = _ln_backward(acc, dy, g_ref[...], ln_eps)
+    dg_ref[...] += dg
+    dbe_ref[...] += dbe
+    dbo_ref[...] += dacc.sum(axis=(0, 1))
+    dacc_lp = dacc.astype(xb.dtype)
+    dx = dacc  # residual, f32
+    # pass 2: per group, recompute q/k/v and softmax, backprop everything
+    for gi in range(n_heads // gh):
+        gl = slice(gi * gh * head_dim, (gi + 1) * gh * head_dim)
+        qg = proj(wq_ref, bq_ref, gl)
+        kg = proj(wk_ref, bk_ref, gl)
+        vg = proj(wv_ref, bv_ref, gl)
+        ag = a_scr[:, :, gl].astype(xb.dtype)
+        dwo_ref[gl, :] += jax.lax.dot_general(
+            ag, dacc_lp, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dag = jax.lax.dot_general(
+            dacc_lp, wo_ref[...][gl, :], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xb.dtype)  # (Bb, L, gh·D)
+        dqs, dks, dvs = [], [], []
+        for h in range(gh):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                qg[:, :, sl], kg[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + neg[:, None, :]
+            s = s - s.max(axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / p.sum(axis=-1, keepdims=True)
+            da_h = dag[:, :, sl]
+            # dp = da_h · v^T : (Bb, L, L)
+            dp = jax.lax.dot_general(
+                da_h, vg[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            p_lp = p.astype(xb.dtype)
+            # dv = p^T · da_h : contract the query dim
+            dvs.append(jax.lax.dot_general(
+                p_lp, da_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(xb.dtype))
+            ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale
+                  ).astype(xb.dtype)
+            dqs.append(jax.lax.dot_general(
+                ds, kg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(xb.dtype))
+            dks.append(jax.lax.dot_general(
+                ds, qg[:, :, sl], (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(xb.dtype))
+        dq_g = jnp.concatenate(dqs, axis=-1)
+        dk_g = jnp.concatenate(dks, axis=-1)
+        dv_g = jnp.concatenate(dvs, axis=-1)
+        for w_ref, dw_ref, db_ref, dgrad in (
+            (wq_ref, dwq_ref, dbq_ref, dq_g),
+            (wk_ref, dwk_ref, dbk_ref, dk_g),
+            (wv_ref, dwv_ref, dbv_ref, dv_g),
+        ):
+            dw_ref[:, gl] += jax.lax.dot_general(
+                xb, dgrad, (((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_ref[gl] += dgrad.astype(jnp.float32).sum(axis=(0, 1))
+            dx = dx + jax.lax.dot_general(
+                dgrad, w_ref[...][:, gl], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _attn_block_bwd_pallas(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, g, dy,
+                           n_heads, ln_eps, block_b, interpret):
+    b, l, hid = x.shape
+    head_dim = hid // n_heads
+    l_pad = -(-l // 8) * 8
+    if l_pad != l:
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        dy = jnp.pad(dy, ((0, 0), (0, l_pad - l), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)), constant_values=0.0)
+    b_pad = -(-b // block_b) * block_b
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
+        dy = jnp.pad(dy, ((0, b_pad - b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, b_pad - b), (0, 0)), constant_values=1.0)
+    kernel = functools.partial(
+        _attn_bwd_kernel, n_heads=n_heads, head_dim=head_dim,
+        scale=1.0 / (head_dim ** 0.5), ln_eps=ln_eps,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc_spec = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    mat = jax.ShapeDtypeStruct((hid, hid), jnp.float32)
+    vec = jax.ShapeDtypeStruct((hid,), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b_pad // block_b,),
+        in_specs=[pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))]
+        + [pl.BlockSpec((hid, hid), lambda i: (0, 0))] * 4
+        + [pl.BlockSpec((hid,), lambda i: (0,))] * 4
+        + [pl.BlockSpec((block_b, l_pad), lambda i: (i, 0))]
+        + [pl.BlockSpec((hid,), lambda i: (0,))]
+        + [pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))]
+        + [acc_spec((hid, hid))] * 4 + [acc_spec((hid,))] * 6,
+        out_shape=[jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype)]
+        + [mat] * 4 + [vec] * 6,
+        scratch_shapes=[pltpu.VMEM((block_b, l_pad, hid), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, wq, wk, wv, wo,
+      bq.astype(jnp.float32), bk.astype(jnp.float32), bv.astype(jnp.float32),
+      bo.astype(jnp.float32), mask.astype(jnp.float32),
+      g.astype(jnp.float32), dy)
+    dx = outs[0][:b, :l]
+    return (dx,) + tuple(outs[1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 13, 14))
+def fused_attention_block_train(x, wq, wk, wv, wo, bq, bk, bv, bo, mask,
+                                n_heads, ln_scale, ln_bias,
+                                ln_eps=1e-12, block_b=8):
+    """Differentiable LN(x + OutProj(MHA(x))): Pallas fwd AND bwd."""
+    return fused_attention_block(x, wq, wk, wv, wo, bq, bk, bv, bo, mask,
+                                 n_heads, ln_scale, ln_bias,
+                                 ln_eps=ln_eps, block_b=block_b)
+
+
+def _attn_train_fwd(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, n_heads,
+                    ln_scale, ln_bias, ln_eps, block_b):
+    out = fused_attention_block_train(x, wq, wk, wv, wo, bq, bk, bv, bo, mask,
+                                      n_heads, ln_scale, ln_bias, ln_eps, block_b)
+    return out, (x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale)
+
+
+def _attn_train_bwd(n_heads, ln_eps, block_b, res, dy):
+    x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale = res
+    if _use_pallas_bwd():
+        (dx, dwq, dwk, dwv, dwo, dbq, dbk, dbv, dbo, dg, dbe) = (
+            _attn_block_bwd_pallas(
+                x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale,
+                dy.astype(x.dtype), n_heads, ln_eps, block_b,
+                interpret=not _on_tpu()))
+    else:
+        def ref(x_, wq_, wk_, wv_, wo_, bq_, bk_, bv_, bo_, g_, be_):
+            return reference_attention_block(
+                x_, wq_, wk_, wv_, wo_, bq_, bk_, bv_, bo_, mask, n_heads,
+                g_, be_, ln_eps)
+
+        be0 = jnp.zeros_like(ln_scale)
+        _, vjp = jax.vjp(ref, x, wq, wk, wv, wo, bq, bk, bv, bo, ln_scale, be0)
+        dx, dwq, dwk, dwv, dwo, dbq, dbk, dbv, dbo, dg, dbe = vjp(dy)
+    return (dx, dwq.astype(wq.dtype), dwk.astype(wk.dtype),
+            dwv.astype(wv.dtype), dwo.astype(wo.dtype),
+            dbq.astype(bq.dtype), dbk.astype(bk.dtype), dbv.astype(bv.dtype),
+            dbo.astype(bo.dtype), jnp.zeros_like(mask),
+            dg.astype(ln_scale.dtype), dbe.astype(ln_scale.dtype))
+
+
+fused_attention_block_train.defvjp(_attn_train_fwd, _attn_train_bwd)

@@ -295,17 +295,57 @@ class FlatIndex(BaseNNIndexer):
         self._device_vectors = None
 
 
+def _kmeanspp_init(vectors: jnp.ndarray, k: int, key) -> jnp.ndarray:
+    """k-means++ (D² sampling) init — k sequential device steps.
+
+    Random init on skewed corpora lands most seeds inside the dominant
+    cluster and Lloyd cannot un-merge the starved small clusters (measured:
+    2x worse mean quantization distance on a half-mass-in-one-cluster
+    corpus). D² seeding fixes that; used for k ≤ 2048 where the k sequential
+    dispatches are cheap — at IVF reference scale (20k lists) random init is
+    statistically safe (≥100 points per centroid in the training sample)."""
+    n = vectors.shape[0]
+    first = jax.random.randint(key, (), 0, n)
+    chosen = [vectors[first]]
+    d2 = jnp.full((n,), jnp.inf, jnp.float32)
+
+    @jax.jit
+    def next_center(vectors, d2, c, key):
+        # vectors as an ARGUMENT: a closure would serialize the training set
+        # into the remote-compile payload
+        d2 = jnp.minimum(d2, ((vectors.astype(jnp.float32) - c) ** 2).sum(-1))
+        idx = jax.random.categorical(key, jnp.log(jnp.maximum(d2, 1e-30)))
+        return d2, idx
+
+    for i in range(1, k):
+        key, sub = jax.random.split(key)
+        d2, idx = next_center(vectors, d2, chosen[-1].astype(jnp.float32), sub)
+        chosen.append(vectors[idx])
+    return jnp.stack(chosen)
+
+
 def kmeans(
     vectors: jnp.ndarray, k: int, iters: int = 10, seed: int = 42, block_size: int = 131072
 ) -> jnp.ndarray:
     """On-device k-means (replaces faiss IVF training, faiss_indices.py:120-127).
 
-    Random init + Lloyd iterations. Assignment runs in corpus blocks (peak
-    memory O(block·k), not O(N·k)) and the centroid update uses segment sums —
-    scales to millions of vectors × thousands of centroids."""
+    k-means++ init (k ≤ 2048; random at larger k) + Lloyd iterations.
+    Assignment runs in corpus blocks (peak memory O(block·k), not O(N·k)) and
+    the centroid update uses segment sums — scales to millions of vectors ×
+    thousands of centroids."""
     n, d = vectors.shape
     key = jax.random.PRNGKey(seed)
-    centroids = vectors[jax.random.choice(key, n, (k,), replace=False)]
+    # candidate inits: random favors noise-like data (D² sampling chases
+    # outliers there — measured worse distortion + degenerate tiny lists);
+    # k-means++ rescues skewed data (random seeds pile into the dominant
+    # cluster and Lloyd never un-merges the starved ones — measured 2x worse
+    # quantization). For k ≤ 2048 run Lloyd from BOTH and keep the lower-
+    # distortion solution; at IVF reference scale (20k lists) the ++ pass's k
+    # sequential dispatches aren't worth it and random init is statistically
+    # safe (≥100 training points per centroid).
+    inits = [vectors[jax.random.choice(key, n, (k,), replace=False)]]
+    if k <= 2048:
+        inits.append(_kmeanspp_init(vectors, k, key))
 
     n_blocks = -(-n // block_size)
     padded_n = n_blocks * block_size
@@ -313,7 +353,9 @@ def kmeans(
     blocks = padded.reshape(n_blocks, block_size, d)
 
     @jax.jit
-    def step(centroids):
+    def step(blocks, vectors, centroids):
+        # data flows through as jit ARGUMENTS (a closure would serialize the
+        # multi-GB training set into the remote-compile payload)
         c_sq = (centroids**2).sum(-1)
 
         def assign_block(block):
@@ -327,10 +369,55 @@ def kmeans(
         new_centroids = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
         return new_centroids, assign
 
-    assign = None
-    for _ in range(iters):
-        centroids, assign = step(centroids)
-    return centroids, assign
+    @jax.jit
+    def distortion(blocks, centroids):
+        c_sq = (centroids**2).sum(-1)
+
+        def block_min(block):
+            return (-2 * block @ centroids.T + c_sq[None, :]).min(axis=1)
+
+        # comparable across candidate solutions: the dropped |x|² term is
+        # identical for all of them
+        return jax.lax.map(block_min, blocks).reshape(padded_n)[:n].sum()
+
+    best = None
+    for centroids in inits:
+        assign = None
+        for _ in range(iters):
+            centroids, assign = step(blocks, vectors, centroids)
+        d_val = float(distortion(blocks, centroids)) if len(inits) > 1 else 0.0
+        if best is None or d_val < best[0]:
+            best = (d_val, centroids, assign)
+    return best[1], best[2]
+
+
+def assign_clusters(
+    vectors: np.ndarray, centroids: np.ndarray, block_size: int = 262144
+) -> np.ndarray:
+    """Nearest-centroid assignment streamed in host→device blocks.
+
+    Used when the corpus is too large to sit on-device in f32 (IVF build at
+    reference scale): each block is device_put, scored against the centroids
+    (one MXU matmul), argmin'd, and only the (block,) int32 comes back."""
+    n, d = vectors.shape
+    centroids_d = jnp.asarray(centroids, dtype=jnp.float32)
+
+    @jax.jit
+    def assign_block(block, centroids_d):
+        c_sq = (centroids_d**2).sum(-1)
+        scores = -2 * block @ centroids_d.T + c_sq[None, :]
+        return jnp.argmin(scores, axis=1).astype(jnp.int32)
+
+    out = np.empty(n, dtype=np.int32)
+    for start in range(0, n, block_size):
+        blk = vectors[start : start + block_size]
+        pad = 0
+        if blk.shape[0] < block_size and start > 0:
+            pad = block_size - blk.shape[0]
+            blk = np.pad(blk, ((0, pad), (0, 0)))
+        a = np.asarray(assign_block(jnp.asarray(blk, jnp.float32), centroids_d))
+        out[start : start + block_size - pad] = a[: block_size - pad] if pad else a
+    return out
 
 
 class IVFIndex(BaseNNIndexer):
@@ -357,6 +444,12 @@ class IVFIndex(BaseNNIndexer):
         # (override with ivf_candidate_rows)
         self.candidate_rows = config.get("ivf_candidate_rows")
         self.candidate_slack = config.get("ivf_candidate_slack", 2.0)
+        # k-means training subsample bound (faiss trains on at most
+        # max_points_per_centroid=256 points/list, Clustering.cpp semantics);
+        # also hard-capped by rows so the f32 training set fits one chip's HBM
+        # at reference scale (20k lists × 8.9M docs)
+        self.train_points_per_centroid = config.get("ivf_train_points_per_centroid", 256)
+        self.train_max_rows = config.get("ivf_train_max_rows", 2_500_000)
         self.mesh = mesh
         self._centroids = None
         self._sorted_vectors = None  # (N, D) corpus sorted by cluster
@@ -370,7 +463,19 @@ class IVFIndex(BaseNNIndexer):
         vectors = np.asarray(vectors, dtype=np.float32)
         n, _ = vectors.shape
         k = min(self.n_clusters, n)
-        centroids, assign = kmeans(jnp.asarray(vectors), k, self.train_iters)
+        # floor 128k: never subsample small corpora (the full-corpus path is
+        # cheap there and sampling only adds init variance)
+        sample_cap = min(max(self.train_points_per_centroid * k, 131072),
+                         self.train_max_rows)
+        if n > sample_cap:
+            # reference-scale build: train centroids on a seeded subsample
+            # (the full f32 corpus does not fit HBM at 8.9M×768), then assign
+            # every row in streamed device blocks
+            sel = np.random.default_rng(42).choice(n, sample_cap, replace=False)
+            centroids, _ = kmeans(jnp.asarray(vectors[sel]), k, self.train_iters)
+            assign = assign_clusters(vectors, np.asarray(centroids))
+        else:
+            centroids, assign = kmeans(jnp.asarray(vectors), k, self.train_iters)
         assign = np.asarray(assign)
         order = np.argsort(assign, kind="stable")
         self._centroids = np.asarray(centroids)
@@ -381,12 +486,18 @@ class IVFIndex(BaseNNIndexer):
         self.n_clusters_eff = k
         self._shard_data = None
 
+    def _max_cluster_rows(self) -> int:
+        return int(np.diff(self._offsets).max()) if self._offsets is not None else 0
+
     def _budget(self, nprobe: int) -> int:
         if self.candidate_rows:
             return int(self.candidate_rows)
         n = self._sorted_vectors.shape[0]
         mean_cluster = max(1.0, n / self.n_clusters_eff)
         r = int(self.candidate_slack * nprobe * mean_cluster)
+        # the budget must at least hold the LARGEST single cluster — on skewed
+        # corpora a probed mega-cluster otherwise silently truncates its tail
+        r = max(r, self._max_cluster_rows())
         return min(n, -(-r // 128) * 128)
 
     # -- mesh-sharded search (the faiss multi-GPU analog, faiss_indices.py:
@@ -468,6 +579,9 @@ class IVFIndex(BaseNNIndexer):
             r_local = int(self.candidate_rows)
         else:
             r_local = int(2 * self.candidate_slack * nprobe * mean_cluster / n_shards)
+            # never below the largest single cluster (skew: a probed
+            # mega-cluster must fit its owning shard's budget in full)
+            r_local = max(r_local, self._max_cluster_rows())
         r_local = min(sd["s_rows"], max(256, -(-r_local // 128) * 128))
         c_max = sd["c_max"]
         k_eff = min(top_n, r_local)
@@ -551,17 +665,23 @@ class IVFIndex(BaseNNIndexer):
         if self._n_shards() > 1:
             return self._search_sharded(queries, top_n)
         q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
-        centroids = jnp.asarray(self._centroids)
-        corpus = jnp.asarray(self._sorted_vectors, dtype=jnp.float32)
+        centroids = jnp.asarray(self._centroids, dtype=jnp.float32)
+        # corpus stays in its STORAGE dtype on device (f16 default: 13.7 GB at
+        # the reference's 8.9M×768 — an f32 copy would not fit HBM); scores
+        # compute in bf16 on the MXU with f32 accumulation like the flat scans
+        corpus = jnp.asarray(self._sorted_vectors)
         offsets = jnp.asarray(self._offsets)
         nprobe = min(self.nprobe, self.n_clusters_eff)
         r_budget = self._budget(nprobe)
         dim = self._sorted_vectors.shape[1]
+        itemsize = self._sorted_vectors.dtype.itemsize
         # bound the (Qc, R, D) gathered working set to ~1 GB
-        chunk_q = max(1, int(1e9 / (r_budget * dim * 4)))
+        chunk_q = max(1, int(1e9 / (r_budget * dim * itemsize)))
 
         @jax.jit
-        def run_chunk(qc):
+        def run_chunk(qc, corpus, centroids, offsets):
+            # device arrays are ARGUMENTS: closing over the multi-GB corpus
+            # would serialize it into the remote-compile payload
             cent_scores = qc @ centroids.T  # (Qc, C)
             probe = jax.lax.top_k(cent_scores, nprobe)[1]  # (Qc, nprobe) best-first
             starts = offsets[probe]  # (Qc, nprobe)
@@ -579,8 +699,9 @@ class IVFIndex(BaseNNIndexer):
             )
             valid = j[None, :] < total[:, None]
             idx = jnp.where(valid, idx, 0)
-            cand = corpus[idx]  # (Qc, R, D) gather from CSR storage
-            scores = jnp.einsum("qd,qrd->qr", qc, cand, preferred_element_type=jnp.float32)
+            cand = corpus[idx].astype(jnp.bfloat16)  # (Qc, R, D) CSR gather
+            scores = jnp.einsum("qd,qrd->qr", qc.astype(jnp.bfloat16), cand,
+                                preferred_element_type=jnp.float32)
             scores = jnp.where(valid, scores, -jnp.inf)
             k = min(top_n, r_budget)
             vals, pos = jax.lax.top_k(scores, k)
@@ -595,10 +716,11 @@ class IVFIndex(BaseNNIndexer):
             if chunk.shape[0] < chunk_q and start > 0:
                 # pad to the compiled chunk shape to avoid a fresh compile
                 pad = chunk_q - chunk.shape[0]
-                v, r = run_chunk(jnp.pad(chunk, ((0, pad), (0, 0))))
+                v, r = run_chunk(jnp.pad(chunk, ((0, pad), (0, 0))), corpus,
+                                 centroids, offsets)
                 v, r = v[: chunk.shape[0]], r[: chunk.shape[0]]
             else:
-                v, r = run_chunk(chunk)
+                v, r = run_chunk(chunk, corpus, centroids, offsets)
             out_vals.append(np.asarray(v))
             out_rows.append(np.asarray(r))
         vals, sorted_rows = np.concatenate(out_vals), np.concatenate(out_rows)

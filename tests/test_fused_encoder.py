@@ -75,6 +75,106 @@ def test_fused_mlp_block_vs_reference():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-4)
 
 
+def test_fused_attention_block_train_grads_vs_reference(monkeypatch):
+    """custom-VJP Pallas backward (ops/fused_backward.py) against autodiff of
+    the reference block — every gradient: dx, all weight/bias grads, LN."""
+    from matchmaker_tpu.ops import fused_backward as fb
+
+    monkeypatch.setattr(fb, "FORCE_PALLAS_BWD", True)
+    rng = np.random.default_rng(3)
+    B, L, HID, NH = 5, 21, 64, 4  # odd L exercises sublane padding in bwd
+    x = jnp.asarray(rng.normal(size=(B, L, HID)) * 0.5, jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=(HID, HID)) * 0.1, jnp.float32) for _ in range(4)]
+    bs = [jnp.asarray(rng.normal(size=(HID,)) * 0.05, jnp.float32) for _ in range(4)]
+    g = jnp.asarray(rng.normal(size=(HID,)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(HID,)) * 0.1, jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[2, 15:] = 0
+    mask = jnp.asarray(mask)
+    cot = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+
+    def loss_fused(x, ws, bs, g, be):
+        out = fb.fused_attention_block_train(x, *ws, *bs, mask, NH, g, be)
+        return (out * cot).sum()
+
+    def loss_ref(x, ws, bs, g, be):
+        from matchmaker_tpu.ops.fused_attention import reference_attention_block
+
+        out = reference_attention_block(x, *ws, *bs, mask, NH, g, be)
+        return (out * cot).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, ws, bs, g, be)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, ws, bs, g, be)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2, rtol=1e-2)
+
+
+def test_fused_mlp_block_train_grads_vs_reference(monkeypatch):
+    from matchmaker_tpu.ops import fused_backward as fb
+
+    monkeypatch.setattr(fb, "FORCE_PALLAS_BWD", True)
+    rng = np.random.default_rng(4)
+    B, L, HID, FF = 4, 19, 64, 256
+    x = jnp.asarray(rng.normal(size=(B, L, HID)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(HID, FF)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(FF,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(FF, HID)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(HID,)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(HID,)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(HID,)) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+
+    def loss_fused(x, w1, b1, w2, b2, g, be):
+        out = fb.fused_mlp_block_train(x, w1, b1, w2, b2, g, be, ff_chunks=2)
+        return (out * cot).sum()
+
+    def loss_ref(x, w1, b1, w2, b2, g, be):
+        from matchmaker_tpu.ops.fused_attention import reference_mlp_block
+
+        return (reference_mlp_block(x, w1, b1, w2, b2, g, be) * cot).sum()
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(x, w1, b1, w2, b2, g, be)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(x, w1, b1, w2, b2, g, be)
+    # z recomputed in f32 in both passes; only poly-erf vs exact erf and
+    # summation order differ
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
+
+
+def test_fused_encoder_training_grads_match_flax(monkeypatch):
+    """End-to-end wiring: grads of the fused-path tiny encoder match the
+    standard flax path on identical params (the trees are identical, so the
+    same training run can flip the flag freely)."""
+    from matchmaker_tpu.ops import fused_backward as fb
+
+    monkeypatch.setattr(fb, "FORCE_PALLAS_BWD", True)
+    from matchmaker_tpu.models.encoder import EncoderConfig, TransformerEncoderLM
+
+    rng = np.random.default_rng(5)
+    m0 = TransformerEncoderLM(EncoderConfig.tiny(dropout=0.0), jnp.float32)
+    m1 = TransformerEncoderLM(
+        EncoderConfig.tiny(dropout=0.0, fused_attention=True), jnp.float32)
+    ids = rng.integers(2, 900, size=(3, 17)).astype(np.int32)
+    mask = np.ones((3, 17), np.float32)
+    mask[1, 11:] = 0
+    params = m0.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+    def loss(params, model):
+        out = model.apply({"params": params}, ids, mask)
+        return (out * out).sum()
+
+    g0 = jax.grad(loss)(params, m0)
+    g1 = jax.grad(loss)(params, m1)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    for (p0, a), (p1, b) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-2, rtol=1e-2,
+            err_msg=str(p0),
+        )
+
+
 def test_fused_encoder_through_bert_dot_retrieval():
     """The production wiring: encoder_fused_attention config key flips the
     encode path; ranking behavior must be preserved (scores equal within
