@@ -44,7 +44,7 @@ MODEL_CONFIGS = {
 }
 
 
-def bench_model(name: str, iters: int = 20):
+def bench_model(name: str, iters: int = 20, fused: bool = False):
     from matchmaker_tpu.config import Config, auto_fill
     from matchmaker_tpu.models import example_batch, get_model, init_params
 
@@ -59,6 +59,10 @@ def bench_model(name: str, iters: int = 20):
         "max_doc_length": spec["max_doc_length"],
         "token_embedding_size": 300,
         "_vocab_size": 30522,
+        # whole-layer Pallas kernels (ops/fused_attention.py) for the
+        # transformer rankers; no-op for the embedding family
+        "encoder_bf16_norms": fused,
+        "encoder_fused_attention": fused,
         **spec.get("extra", {}),
     }))
 
@@ -101,12 +105,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default=",".join(MODEL_CONFIGS))
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--fused", action="store_true",
+                    help="fused whole-layer Pallas kernels for transformer rankers")
     args = ap.parse_args()
 
     results = {}
     for name in args.models.split(","):
         try:
-            results[name] = bench_model(name, args.iters)
+            results[name] = bench_model(name, args.iters, args.fused)
             print(f"[rerank-bench] {name}: {results[name]}", flush=True)
         except Exception as e:
             print(f"[rerank-bench] {name}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)

@@ -182,8 +182,10 @@ _GROUP_HEADS = 2  # heads per projection group: 2·64 = full 128-lane width
 
 
 def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
-                  bv_ref, bo_ref, m_ref, g_ref, b2_ref, o_ref, *,
+                  bv_ref, bo_ref, m_ref, g_ref, b2_ref, o_ref, *refs,
                   n_heads, head_dim, scale, ln_eps):
+    # *refs: optional acc_ref output (training forward saves the pre-LN
+    # residual sum so the backward kernel skips its recompute pass)
     xb = x_ref[...]  # (Bb, L, HID) bf16
     neg = (m_ref[...] - 1.0) * 1e9
     acc = xb.astype(jnp.float32) + bo_ref[...]  # residual + out-proj bias
@@ -217,6 +219,8 @@ def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
             a, wo_ref[...][gl, :], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    if refs:
+        refs[0][...] = acc.astype(refs[0].dtype)
     # post-attention LayerNorm fused in: XLA lowers a reduce+convert that
     # consumes a custom-call RESULT through its slow layout-materialization
     # path (measured 10.75 ms/layer for a 0.5 ms LayerNorm — the whole
@@ -238,9 +242,14 @@ def fused_attention_block(
     ln_eps: float = 1e-12,
     block_b: int = 8,
     interpret: Optional[bool] = None,
+    save_acc: bool = False,
 ) -> jnp.ndarray:
     """LN(x + OutProj(MHA(QKV-proj(x)))) in one kernel — the whole attention
-    half of a post-norm transformer layer. Forward only."""
+    half of a post-norm transformer layer.
+
+    ``save_acc`` additionally returns the pre-LN residual sum in bf16 — the
+    training forward's residual for the custom-VJP backward kernel
+    (ops/fused_backward.py), which then skips its acc-recompute pass."""
     b, l, hid = x.shape
     head_dim = hid // n_heads
     if interpret is None:
@@ -259,22 +268,30 @@ def fused_attention_block(
     )
     from jax.experimental.pallas import tpu as pltpu
 
+    blk3 = pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))
+    out_specs = [blk3, blk3] if save_acc else blk3
+    out_shape = jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype)
+    if save_acc:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype)]
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // block_b,),
-        in_specs=[pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))]
+        in_specs=[blk3]
         + [pl.BlockSpec((hid, hid), lambda i: (0, 0))] * 4
         + [pl.BlockSpec((hid,), lambda i: (0,))] * 4
         + [pl.BlockSpec((block_b, l_pad), lambda i: (i, 0))]
         + [pl.BlockSpec((hid,), lambda i: (0,))] * 2,
-        out_specs=pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         # the weights (4.5 MB) + pipeline buffers sit just past the default
         # 16 MB scoped-vmem line (16.62 MB at DistilBERT size)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(x, wq, wk, wv, wo, bq, bk, bv, bo, mask.astype(jnp.float32),
       ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
+    if save_acc:
+        return out[0][:b, :l], out[1][:b, :l]
     return out[:b, :l]
 
 
@@ -315,7 +332,9 @@ def _gelu_exact(h):
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, o_ref,
-                *, ff_chunks, ln_eps):
+                *refs, ff_chunks, ln_eps):
+    # *refs: optional acc_ref output (training forward residual, see
+    # _block_kernel)
     xb = x_ref[...]
     acc = xb.astype(jnp.float32) + b2_ref[...]
     ff = w1_ref.shape[1]
@@ -331,6 +350,8 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, o_ref,
             h, w2_ref[...][sl, :], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    if refs:
+        refs[0][...] = acc.astype(refs[0].dtype)
     mean = acc.mean(axis=-1, keepdims=True)
     var = ((acc - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (acc - mean) * jax.lax.rsqrt(var + ln_eps)
@@ -345,6 +366,7 @@ def fused_mlp_block(
     block_b: int = 16,
     ff_chunks: int = 4,
     interpret: Optional[bool] = None,
+    save_acc: bool = False,
 ) -> jnp.ndarray:
     """LN(x + W2·gelu(W1·x + b1) + b2) in one kernel — the MLP half of a
     post-norm layer. The (B, L, FF) intermediate never exists in HBM (it is
@@ -354,6 +376,11 @@ def fused_mlp_block(
     if interpret is None:
         interpret = not _on_tpu()
     l_pad = -(-l // 8) * 8
+    # block_b=16 is sized for L≤128 encode shapes; scale down for longer
+    # sequences (training docs run L=200) so the per-chunk f32 intermediate
+    # stays inside the scoped-vmem budget
+    if l_pad > 128:
+        block_b = min(block_b, 8)
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
     b_pad = -(-b // block_b) * block_b
@@ -375,12 +402,16 @@ def fused_mlp_block(
             pl.BlockSpec((hid,), lambda i: (0,)),
             pl.BlockSpec((hid,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype),
+        out_specs=[pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))] * 2
+        if save_acc else pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
+        out_shape=[jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype)] * 2
+        if save_acc else jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
       ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
+    if save_acc:
+        return out[0][:b, :l], out[1][:b, :l]
     return out[:b, :l]
 
 

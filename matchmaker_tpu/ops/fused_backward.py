@@ -71,6 +71,18 @@ def _gelu_grad(z):
     return cdf + z * pdf
 
 
+def _wgrad(a, b):
+    """(Bb, L, M)·(Bb, L, N) → (M, N) contracting batch AND length.
+
+    Mosaic's matmul lowering only supports a single contracting dim, so the
+    leading dims are merged first (lane dim untouched — a free relayout)."""
+    a2 = a.reshape(-1, a.shape[-1])
+    b2 = b.reshape(-1, b.shape[-1])
+    return jax.lax.dot_general(
+        a2, b2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _ln_backward(acc, dy, g, ln_eps):
     """Backward of y = LN(acc)·g + b: returns (dacc, dg_partial, dbe_partial).
 
@@ -96,8 +108,8 @@ def _ln_backward(acc, dy, g, ln_eps):
 
 
 def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
-                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
-                    dbe_ref, *, ff_chunks, ln_eps):
+                    acc_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    dg_ref, dbe_ref, *, ff_chunks, ln_eps):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -115,22 +127,15 @@ def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
     ch = ff // ff_chunks
 
     def z_chunk(sl):
-        # pre-gelu chunk; recomputed in both passes (deterministic, so pass 2
-        # sees bit-identical values) — an extra MXU matmul per chunk is
-        # cheaper than an f32 (Bb, L, FF) VMEM scratch at production shapes
+        # pre-gelu chunk, recomputed (one MXU matmul per chunk — cheaper than
+        # an f32 (Bb, L, FF) VMEM scratch or an HBM round-trip of it)
         return jax.lax.dot_general(
             xb, w1_ref[...][:, sl], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[...][sl]
 
-    # pass 1: recompute acc chunk-by-chunk
-    acc = xb.astype(jnp.float32) + b2_ref[...]
-    for c in range(ff_chunks):
-        sl = slice(c * ch, (c + 1) * ch)
-        acc = acc + jax.lax.dot_general(
-            _gelu_exact(z_chunk(sl)).astype(xb.dtype), w2_ref[...][sl, :],
-            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+    # acc saved by the training forward (save_acc) — no recompute pass
+    acc = acc_ref[...].astype(jnp.float32)
     dacc, dg, dbe = _ln_backward(acc, dy, g_ref[...], ln_eps)
     dg_ref[...] += dg
     dbe_ref[...] += dbe
@@ -143,19 +148,13 @@ def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
         z = z_chunk(sl)
         hc = _gelu_exact(z).astype(xb.dtype)
         # dW2_c: (ch, H) — contract batch and length
-        dw2_ref[sl, :] += jax.lax.dot_general(
-            hc, dacc_lp, (((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dw2_ref[sl, :] += _wgrad(hc, dacc_lp)
         dh = jax.lax.dot_general(
             dacc_lp, w2_ref[...][sl, :], (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dz = (dh * _gelu_grad(z)).astype(xb.dtype)
-        dw1_ref[:, sl] += jax.lax.dot_general(
-            xb, dz, (((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dw1_ref[:, sl] += _wgrad(xb, dz)
         db1_ref[sl] += dz.astype(jnp.float32).sum(axis=(0, 1))
         dx = dx + jax.lax.dot_general(
             dz, w1_ref[...][:, sl], (((2,), (1,)), ((), ())),
@@ -164,18 +163,20 @@ def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _mlp_block_bwd_pallas(x, w1, b1, w2, b2, g, dy, ln_eps, block_b, ff_chunks,
-                          interpret):
+def _mlp_block_bwd_pallas(x, w1, b1, w2, b2, g, dy, acc, ln_eps, block_b,
+                          ff_chunks, interpret):
     b, l, hid = x.shape
     ff = w1.shape[1]
     l_pad = -(-l // 8) * 8
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         dy = jnp.pad(dy, ((0, 0), (0, l_pad - l), (0, 0)))
+        acc = jnp.pad(acc, ((0, 0), (0, l_pad - l), (0, 0)))
     b_pad = -(-b // block_b) * block_b
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
         dy = jnp.pad(dy, ((0, b_pad - b), (0, 0), (0, 0)))
+        acc = jnp.pad(acc, ((0, b_pad - b), (0, 0), (0, 0)))
     kernel = functools.partial(_mlp_bwd_kernel, ff_chunks=ff_chunks, ln_eps=ln_eps)
     from jax.experimental.pallas import tpu as pltpu
 
@@ -190,6 +191,7 @@ def _mlp_block_bwd_pallas(x, w1, b1, w2, b2, g, dy, ln_eps, block_b, ff_chunks,
             pl.BlockSpec((ff, hid), lambda i: (0, 0)),
             pl.BlockSpec((hid,), lambda i: (0,)),
             pl.BlockSpec((hid,), lambda i: (0,)),
+            pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
             pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
         ],
         out_specs=[
@@ -212,7 +214,7 @@ def _mlp_block_bwd_pallas(x, w1, b1, w2, b2, g, dy, ln_eps, block_b, ff_chunks,
         ),
         interpret=interpret,
     )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
-      g.astype(jnp.float32), dy)
+      g.astype(jnp.float32), dy, acc)
     dx, dw1, db1, dw2, db2, dg, dbe = outs
     return dx[:b, :l], dw1, db1, dw2, db2, dg, dbe
 
@@ -226,17 +228,25 @@ def fused_mlp_block_train(x, w1, b1, w2, b2, ln_scale, ln_bias,
 
 
 def _mlp_train_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, ln_eps, block_b, ff_chunks):
-    out = fused_mlp_block_train(x, w1, b1, w2, b2, ln_scale, ln_bias,
-                                ln_eps, block_b, ff_chunks)
-    return out, (x, w1, b1, w2, b2, ln_scale)
+    if _use_pallas_bwd():
+        # forward additionally emits the pre-LN residual sum; the backward
+        # kernel then needs no acc-recompute pass
+        out, acc = fused_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                                   ln_eps=ln_eps, ff_chunks=ff_chunks,
+                                   save_acc=True)
+    else:
+        out = fused_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                              ln_eps=ln_eps, ff_chunks=ff_chunks)
+        acc = None
+    return out, (x, w1, b1, w2, b2, ln_scale, acc)
 
 
 def _mlp_train_bwd(ln_eps, block_b, ff_chunks, res, dy):
-    x, w1, b1, w2, b2, ln_scale = res
-    if _use_pallas_bwd():
+    x, w1, b1, w2, b2, ln_scale, acc = res
+    if _use_pallas_bwd() and acc is not None:
         dx, dw1, db1, dw2, db2, dg, dbe = _mlp_block_bwd_pallas(
-            x, w1, b1, w2, b2, ln_scale, dy.astype(x.dtype), ln_eps, block_b,
-            ff_chunks, interpret=not _on_tpu())
+            x, w1, b1, w2, b2, ln_scale, dy.astype(x.dtype), acc, ln_eps,
+            block_b, ff_chunks, interpret=not _on_tpu())
     else:
         # off-TPU: autodiff of the reference math (tests/CPU)
         def ref(x_, w1_, b1_, w2_, b2_, g_, be_):
@@ -257,9 +267,9 @@ fused_mlp_block_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
 
 
 def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
-                     bv_ref, bo_ref, m_ref, g_ref, dy_ref,
+                     bv_ref, bo_ref, m_ref, g_ref, dy_ref, acc_ref,
                      dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dbq_ref,
-                     dbk_ref, dbv_ref, dbo_ref, dg_ref, dbe_ref, a_scr,
+                     dbk_ref, dbv_ref, dbo_ref, dg_ref, dbe_ref,
                      *, n_heads, head_dim, scale, ln_eps):
     i = pl.program_id(0)
 
@@ -280,62 +290,26 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
             preferred_element_type=jnp.float32,
         ) + b_ref[...][gl]).astype(xb.dtype)
 
-    def heads(qg, kg, vg):
-        """Per-head softmax probs p_h and outputs a_h for one group."""
-        ps, parts = [], []
-        for h in range(gh):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            s = jax.lax.dot_general(
-                qg[:, :, sl], kg[:, :, sl], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            s = s + neg[:, None, :]
-            s = s - s.max(axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / p.sum(axis=-1, keepdims=True)
-            ps.append(p)
-            parts.append(jax.lax.dot_general(
-                p.astype(xb.dtype), vg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(xb.dtype))
-        return ps, jnp.concatenate(parts, axis=-1)
-
-    # pass 1: recompute acc (and stash the per-group attention outputs — the
-    # only fwd intermediate small enough to keep: (Bb, L, HID) bf16)
-    acc = xb.astype(jnp.float32) + bo_ref[...]
-    for gi in range(n_heads // gh):
-        gl = slice(gi * gh * head_dim, (gi + 1) * gh * head_dim)
-        qg = proj(wq_ref, bq_ref, gl)
-        kg = proj(wk_ref, bk_ref, gl)
-        vg = proj(wv_ref, bv_ref, gl)
-        _, ag = heads(qg, kg, vg)
-        a_scr[:, :, gl] = ag.astype(a_scr.dtype)
-        acc = acc + jax.lax.dot_general(
-            ag, wo_ref[...][gl, :], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # acc saved by the training forward (save_acc) — no recompute pass
+    acc = acc_ref[...].astype(jnp.float32)
     dacc, dg, dbe = _ln_backward(acc, dy, g_ref[...], ln_eps)
     dg_ref[...] += dg
     dbe_ref[...] += dbe
     dbo_ref[...] += dacc.sum(axis=(0, 1))
     dacc_lp = dacc.astype(xb.dtype)
     dx = dacc  # residual, f32
-    # pass 2: per group, recompute q/k/v and softmax, backprop everything
+    # single pass: per group, recompute q/k/v, softmax, and the attention
+    # output a (for dWo), then backprop everything
     for gi in range(n_heads // gh):
         gl = slice(gi * gh * head_dim, (gi + 1) * gh * head_dim)
         qg = proj(wq_ref, bq_ref, gl)
         kg = proj(wk_ref, bk_ref, gl)
         vg = proj(wv_ref, bv_ref, gl)
-        ag = a_scr[:, :, gl].astype(xb.dtype)
-        dwo_ref[gl, :] += jax.lax.dot_general(
-            ag, dacc_lp, (((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         dag = jax.lax.dot_general(
             dacc_lp, wo_ref[...][gl, :], (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(xb.dtype)  # (Bb, L, gh·D)
-        dqs, dks, dvs = [], [], []
+        dqs, dks, dvs, a_parts = [], [], [], []
         for h in range(gh):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             s = jax.lax.dot_general(
@@ -346,6 +320,10 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
             s = s - s.max(axis=-1, keepdims=True)
             p = jnp.exp(s)
             p = p / p.sum(axis=-1, keepdims=True)
+            a_parts.append(jax.lax.dot_general(
+                p.astype(xb.dtype), vg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(xb.dtype))
             da_h = dag[:, :, sl]
             # dp = da_h · v^T : (Bb, L, L)
             dp = jax.lax.dot_general(
@@ -368,6 +346,8 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
                 ds, qg[:, :, sl], (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(xb.dtype))
+        ag = jnp.concatenate(a_parts, axis=-1)
+        dwo_ref[gl, :] += _wgrad(ag, dacc_lp)
         dq_g = jnp.concatenate(dqs, axis=-1)
         dk_g = jnp.concatenate(dks, axis=-1)
         dv_g = jnp.concatenate(dvs, axis=-1)
@@ -376,10 +356,7 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
             (wk_ref, dwk_ref, dbk_ref, dk_g),
             (wv_ref, dwv_ref, dbv_ref, dv_g),
         ):
-            dw_ref[:, gl] += jax.lax.dot_general(
-                xb, dgrad, (((0, 1), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            dw_ref[:, gl] += _wgrad(xb, dgrad)
             db_ref[gl] += dgrad.astype(jnp.float32).sum(axis=(0, 1))
             dx = dx + jax.lax.dot_general(
                 dgrad, w_ref[...][:, gl], (((2,), (1,)), ((), ())),
@@ -388,7 +365,7 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _attn_block_bwd_pallas(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, g, dy,
+def _attn_block_bwd_pallas(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, g, dy, acc,
                            n_heads, ln_eps, block_b, interpret):
     b, l, hid = x.shape
     head_dim = hid // n_heads
@@ -396,11 +373,13 @@ def _attn_block_bwd_pallas(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, g, dy,
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         dy = jnp.pad(dy, ((0, 0), (0, l_pad - l), (0, 0)))
+        acc = jnp.pad(acc, ((0, 0), (0, l_pad - l), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)), constant_values=0.0)
     b_pad = -(-b // block_b) * block_b
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
         dy = jnp.pad(dy, ((0, b_pad - b), (0, 0), (0, 0)))
+        acc = jnp.pad(acc, ((0, b_pad - b), (0, 0), (0, 0)))
         mask = jnp.pad(mask, ((0, b_pad - b), (0, 0)), constant_values=1.0)
     kernel = functools.partial(
         _attn_bwd_kernel, n_heads=n_heads, head_dim=head_dim,
@@ -419,12 +398,11 @@ def _attn_block_bwd_pallas(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, g, dy,
         + [pl.BlockSpec((hid,), lambda i: (0,))] * 4
         + [pl.BlockSpec((block_b, l_pad), lambda i: (i, 0))]
         + [pl.BlockSpec((hid,), lambda i: (0,))]
-        + [pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))],
+        + [pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))] * 2,
         out_specs=[pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0))]
         + [acc_spec((hid, hid))] * 4 + [acc_spec((hid,))] * 6,
         out_shape=[jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype)]
         + [mat] * 4 + [vec] * 6,
-        scratch_shapes=[pltpu.VMEM((block_b, l_pad, hid), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -432,7 +410,7 @@ def _attn_block_bwd_pallas(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, g, dy,
     )(x, wq, wk, wv, wo,
       bq.astype(jnp.float32), bk.astype(jnp.float32), bv.astype(jnp.float32),
       bo.astype(jnp.float32), mask.astype(jnp.float32),
-      g.astype(jnp.float32), dy)
+      g.astype(jnp.float32), dy, acc)
     dx = outs[0][:b, :l]
     return (dx,) + tuple(outs[1:])
 
@@ -449,18 +427,27 @@ def fused_attention_block_train(x, wq, wk, wv, wo, bq, bk, bv, bo, mask,
 
 def _attn_train_fwd(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, n_heads,
                     ln_scale, ln_bias, ln_eps, block_b):
-    out = fused_attention_block_train(x, wq, wk, wv, wo, bq, bk, bv, bo, mask,
-                                      n_heads, ln_scale, ln_bias, ln_eps, block_b)
-    return out, (x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale)
+    if _use_pallas_bwd():
+        # forward additionally emits the pre-LN residual sum; the backward
+        # kernel then needs no acc-recompute pass
+        out, acc = fused_attention_block(
+            x, wq, wk, wv, wo, bq, bk, bv, bo, mask, n_heads,
+            ln_scale, ln_bias, ln_eps=ln_eps, block_b=block_b, save_acc=True)
+    else:
+        out = fused_attention_block(x, wq, wk, wv, wo, bq, bk, bv, bo, mask,
+                                    n_heads, ln_scale, ln_bias,
+                                    ln_eps=ln_eps, block_b=block_b)
+        acc = None
+    return out, (x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale, acc)
 
 
 def _attn_train_bwd(n_heads, ln_eps, block_b, res, dy):
-    x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale = res
-    if _use_pallas_bwd():
+    x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale, acc = res
+    if _use_pallas_bwd() and acc is not None:
         (dx, dwq, dwk, dwv, dwo, dbq, dbk, dbv, dbo, dg, dbe) = (
             _attn_block_bwd_pallas(
                 x, wq, wk, wv, wo, bq, bk, bv, bo, mask, ln_scale,
-                dy.astype(x.dtype), n_heads, ln_eps, block_b,
+                dy.astype(x.dtype), acc, n_heads, ln_eps, block_b,
                 interpret=not _on_tpu()))
     else:
         def ref(x_, wq_, wk_, wv_, wo_, bq_, bk_, bv_, bo_, g_, be_):

@@ -954,12 +954,16 @@ def build_index(config, mesh=None) -> BaseNNIndexer:
     if kind in ("flat", "exact", "full"):
         return FlatIndex(config, mesh)
     if kind == "scann":
-        # measured-best approximate operating point: fused bin-max candidate
-        # scan (ops/mips_binmax.py) — 39.8k QPS per 1.1M shard @ recall@1000
-        # 0.9967 vs f32-exact, 2x the XLA scan. The more literally ScaNN-shaped int8 two-stage
-        # (quantized scan + exact reorder) stays available via explicit
-        # mips_quantization/mips_twostage config — its candidate gather is
-        # 20x slower on TPU HBM.
+        # default: measured-best approximate operating point — fused bin-max
+        # candidate scan (ops/mips_binmax.py), 39.8k QPS per 1.1M shard @
+        # recall@1000 0.9967 vs f32-exact, 2x the XLA scan.
+        # `scann_backend: tree_ah` selects the LITERAL ScaNN shape instead
+        # (k-means tree + anisotropic int8 AH scoring + exact reorder,
+        # retrieval/scann_tree_ah.py — reference scann_index.py:32-35).
+        if config.get("scann_backend") == "tree_ah":
+            from matchmaker_tpu.retrieval.scann_tree_ah import ScaNNTreeAHIndex
+
+            return ScaNNTreeAHIndex(config, mesh)
         cfg = dict(config)
         cfg.setdefault("mips_quantization", "float16")
         cfg.setdefault("mips_approx_topk", True)

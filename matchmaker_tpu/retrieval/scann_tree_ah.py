@@ -1,0 +1,205 @@
+"""Literal ScaNN tree-AH index, TPU-native (reference scann_index.py:10-53).
+
+The reference builds ``scann.builder(corpus, top_n, "dot_product")
+.tree(num_leaves=sqrt(N), num_leaves_to_search=100)
+.score_ah(2, anisotropic_quantization_threshold=0.2).reorder(top_n)``.
+This module reproduces that exact three-stage shape with TPU-idiomatic parts:
+
+- **tree** — k-means leaves over the corpus = the IVFIndex CSR layout
+  (centroids + corpus sorted by leaf + offsets), num_leaves defaulting to
+  ``int(sqrt(N))`` like the reference.
+- **AH (asymmetric hashing) scoring** — per-datapoint quantized codes scored
+  against the *unquantized* query (that asymmetry is the "A" in AH). ScaNN
+  uses 4-bit PQ codebooks tuned with an anisotropic loss; the TPU-native
+  equivalent is int8 *residual* scalar quantization (r = x − leaf_centroid,
+  codes = round(r/s) with per-vector scale) — int8 keeps the scoring einsum
+  on the MXU at full rate, and residual coding plays the role of PQ's
+  codebook centering. The anisotropic loss is applied exactly as in
+  Guo et al. (ICML'20): the reconstruction scale γ per vector minimizes
+  h∥·‖e∥‖² + h⊥·‖e⊥‖² where e = r − γ·r̃, with weight ratio
+  h∥/h⊥ = (d−1)·T²/(1−T²) from the paper's Theorem 3.2 and T the
+  ``anisotropic_quantization_threshold`` (default 0.2, reference
+  scann_index.py:34). Parallel (score-direction) error is thus penalized
+  ~32× more than orthogonal error at d=768 — the score-aware trade that
+  distinguishes ScaNN's AH from plain MSE quantization.
+- **reorder** — the top ``reorder_k`` AH candidates are rescored exactly
+  against the f16 corpus rows and re-ranked (reference ``.reorder(top_n)``,
+  scann_index.py:35).
+
+Estimated score of candidate x in leaf c: q·x̃ = q·centroid(c) + γs·(q·codes)
+— the centroid term falls out of the probe stage's (Q, C) matmul for free.
+
+Storage: int8 codes (N·D bytes) + f32 scale (4N) + int32 leaf id (4N) on top
+of the parent's f16 rows used by the reorder stage — 1.5× the flat f16
+footprint, vs ScaNN's in-RAM codes+float dataset (same trade).
+
+The mesh-sharded path routes through the parent's IVF machinery (exact f16
+within probed leaves — strictly better recall at the same probe budget);
+the AH scan itself is the single-chip operating point, matching the
+reference's CPU-only ScaNN (scann_index.py:19 ``use_gpu = False``).
+"""
+
+from __future__ import annotations
+
+import os
+from math import sqrt
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matchmaker_tpu.retrieval.indexes import IVFIndex, gather_ids
+
+
+class ScaNNTreeAHIndex(IVFIndex):
+    """tree (k-means leaves) → AH int8 scan → exact reorder."""
+
+    def __init__(self, config=None, mesh=None):
+        super().__init__(config, mesh)
+        config = config or {}
+        # reference tree(): num_leaves=sqrt(N) resolved at index() time,
+        # num_leaves_to_search=100 (scann_index.py:33)
+        self.num_leaves = config.get("scann_num_leaves")
+        self.nprobe = config.get("scann_leaves_to_search", 100)
+        # reference reorder(top_n): rescore exactly the returned depth; a
+        # larger scann_reorder trades QPS for recall
+        self.reorder_mult = config.get("scann_reorder_mult", 1)
+        self.aniso_threshold = config.get("scann_anisotropic_threshold", 0.2)
+        self._codes = None  # (N, D) int8, sorted-by-leaf order
+        self._scales = None  # (N,) f32 — γ·s folded together
+        self._leaf_of_row = None  # (N,) int32, sorted order
+
+    def index(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        n = len(vectors)
+        self.n_clusters = int(self.num_leaves or max(1, int(sqrt(n))))
+        super().index(ids, vectors)  # tree build: k-means + CSR sort
+        v = np.asarray(vectors, dtype=np.float32)[self._sorted_rows]
+        leaf = np.repeat(
+            np.arange(self.n_clusters_eff, dtype=np.int32),
+            np.diff(self._offsets).astype(np.int64),
+        )
+        r = v - self._centroids[leaf]  # residuals, f32
+        s = np.abs(r).max(axis=1) / 127.0
+        s = np.maximum(s, 1e-12)
+        codes = np.clip(np.rint(r / s[:, None]), -127, 127).astype(np.int8)
+        # anisotropic reconstruction scale (closed form, see module docstring):
+        # γ = c·h∥ / (c²(h∥−h⊥)/‖r‖² + h⊥‖r̃‖²),  c = <r, r̃>,  h⊥ = 1
+        d = v.shape[1]
+        t = self.aniso_threshold
+        h_par = max(1.0, (d - 1) * t * t / max(1e-9, 1.0 - t * t))
+        r_tilde = codes.astype(np.float32) * s[:, None]
+        c = np.einsum("nd,nd->n", r, r_tilde)
+        rr = np.maximum(np.einsum("nd,nd->n", r, r), 1e-12)
+        tt = np.maximum(np.einsum("nd,nd->n", r_tilde, r_tilde), 1e-12)
+        gamma = c * h_par / (c * c * (h_par - 1.0) / rr + tt)
+        self._codes = codes
+        self._scales = (s * gamma).astype(np.float32)
+        self._leaf_of_row = leaf
+
+    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._n_shards() > 1:
+            # mesh path = parent's sharded probed-exact search (see docstring)
+            return self._search_sharded(queries, top_n)
+        q = np.asarray(queries, dtype=np.float32)
+        centroids = jnp.asarray(self._centroids, dtype=jnp.float32)
+        codes = jnp.asarray(self._codes)  # int8, device
+        scales = jnp.asarray(self._scales)
+        leaf_of_row = jnp.asarray(self._leaf_of_row)
+        corpus = jnp.asarray(self._sorted_vectors)  # f16, reorder stage
+        offsets = jnp.asarray(self._offsets)
+        nprobe = min(self.nprobe, self.n_clusters_eff)
+        r_budget = self._budget(nprobe)
+        reorder_k = min(r_budget, max(top_n, int(self.reorder_mult * top_n)))
+        k_out = min(top_n, reorder_k)
+        dim = self._codes.shape[1]
+        # (Qc, R) int8 gather dominates the working set; bound it to ~1 GB
+        chunk_q = max(1, int(1e9 / (r_budget * dim)))
+
+        @jax.jit
+        def run_chunk(qc, codes, scales, leaf_of_row, corpus, centroids, offsets):
+            # tree stage: probe the top-nprobe leaves (best-first)
+            cent_scores = qc @ centroids.T  # (Qc, C)
+            probe = jax.lax.top_k(cent_scores, nprobe)[1]
+            starts = offsets[probe]
+            lens = offsets[probe + 1] - starts
+            prefix = jnp.concatenate(
+                [jnp.zeros((qc.shape[0], 1), lens.dtype), jnp.cumsum(lens, axis=1)],
+                axis=1,
+            )
+            total = prefix[:, -1]
+            j = jnp.arange(r_budget, dtype=lens.dtype)
+            seg = jax.vmap(lambda p: jnp.searchsorted(p, j, side="right") - 1)(prefix)
+            seg = jnp.clip(seg, 0, nprobe - 1)
+            idx = jnp.take_along_axis(starts, seg, axis=1) + (
+                j[None, :] - jnp.take_along_axis(prefix, seg, axis=1)
+            )
+            valid = j[None, :] < total[:, None]
+            idx = jnp.where(valid, idx, 0)
+            # AH stage: q·x̃ = cent_score[leaf] + scale·(q·codes) — int8 codes
+            # widen to bf16 (exact for |code| ≤ 127) so the einsum rides the MXU
+            cand = codes[idx].astype(jnp.bfloat16)  # (Qc, R, D)
+            ah = jnp.einsum(
+                "qd,qrd->qr", qc.astype(jnp.bfloat16), cand,
+                preferred_element_type=jnp.float32,
+            ) * scales[idx]
+            ah = ah + jnp.take_along_axis(cent_scores, leaf_of_row[idx], axis=1)
+            ah = jnp.where(valid, ah, -jnp.inf)
+            # reorder stage: exact f16 rescore of the AH top-reorder_k
+            _, pos = jax.lax.top_k(ah, reorder_k)
+            ridx = jnp.take_along_axis(idx, pos, axis=1)
+            rvalid = jnp.take_along_axis(valid, pos, axis=1)
+            exact = jnp.einsum(
+                "qd,qrd->qr", qc.astype(jnp.bfloat16),
+                corpus[ridx].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            exact = jnp.where(rvalid, exact, -jnp.inf)
+            vals, pos2 = jax.lax.top_k(exact, k_out)
+            sel = jnp.take_along_axis(ridx, pos2, axis=1)
+            return vals, jnp.where(jnp.isfinite(vals), sel, -1)
+
+        out_vals, out_rows = [], []
+        for start in range(0, len(q), chunk_q):
+            chunk = q[start : start + chunk_q]
+            pad = chunk_q - chunk.shape[0] if start > 0 else 0
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            v, r = run_chunk(jnp.asarray(chunk), codes, scales, leaf_of_row,
+                             corpus, centroids, offsets)
+            v, r = np.asarray(v), np.asarray(r)
+            if pad:
+                v, r = v[:-pad], r[:-pad]
+            out_vals.append(v)
+            out_rows.append(r)
+        vals, sorted_rows = np.concatenate(out_vals), np.concatenate(out_rows)
+        rows = np.where(
+            sorted_rows >= 0, self._sorted_rows[np.clip(sorted_rows, 0, None)], -1
+        )
+        if vals.shape[1] < top_n:
+            padw = top_n - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, padw)), constant_values=-np.inf)
+            rows = np.pad(rows, ((0, 0), (0, padw)), constant_values=-1)
+        return gather_ids(self._ids, rows, len(self._ids), vals)
+
+    def storage_bytes(self) -> int:
+        return (
+            super().storage_bytes()
+            + self._codes.nbytes
+            + self._scales.nbytes
+            + self._leaf_of_row.nbytes
+        )
+
+    def save(self, folder: str) -> None:
+        super().save(folder)
+        np.savez_compressed(
+            os.path.join(folder, "scann_ah.npz"),
+            codes=self._codes, scales=self._scales, leaf_of_row=self._leaf_of_row,
+        )
+
+    def load(self, folder: str) -> None:
+        super().load(folder)
+        data = np.load(os.path.join(folder, "scann_ah.npz"))
+        self._codes = data["codes"]
+        self._scales = data["scales"]
+        self._leaf_of_row = data["leaf_of_row"]

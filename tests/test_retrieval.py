@@ -577,3 +577,80 @@ def test_hnsw_build_rate_pinned(rng):
     dt = time.perf_counter() - t0
     rate = n / dt
     assert rate >= 700, f"HNSW build rate collapsed: {rate:.0f} adds/s"
+
+
+def test_scann_tree_ah_literal_shape(rng, tmp_path):
+    """Literal ScaNN tree-AH (retrieval/scann_tree_ah.py): k-means tree +
+    anisotropic int8 AH scoring + exact reorder recovers exact-search results
+    on a clustered corpus, and save/load roundtrips (reference
+    scann_index.py:32-35: tree(sqrt N, 100).score_ah(2, 0.2).reorder(top_n))."""
+    from matchmaker_tpu.retrieval.indexes import build_index
+    from matchmaker_tpu.retrieval.scann_tree_ah import ScaNNTreeAHIndex
+
+    n, d, n_centers = 4096, 32, 16
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32) * 4
+    assign = np.repeat(np.arange(n_centers), n // n_centers)
+    vectors = (centers[assign] + rng.normal(size=(n, d))).astype(np.float32)
+    ids = np.arange(n) + 10  # non-identity id mapping
+    config = {
+        "faiss_index_type": "scann", "scann_backend": "tree_ah",
+        "scann_num_leaves": n_centers, "scann_leaves_to_search": 6,
+        "scann_reorder_mult": 4, "token_dtype": "float16",
+    }
+    index = build_index(config)
+    assert isinstance(index, ScaNNTreeAHIndex)  # factory dispatch
+    index.prepare(d)
+    index.index(ids, vectors)
+    # 1.5x flat footprint: codes + scales + leaf ids on top of f16 rows
+    assert index.storage_bytes() > vectors.astype(np.float16).nbytes
+
+    queries = vectors[rng.integers(0, n, 32)] + 0.05 * rng.normal(
+        size=(32, d)
+    ).astype(np.float32)
+    scores, out_ids = index.search(queries, top_n=10)
+    exact = np.argsort(-(queries @ vectors.T), axis=1)[:, :10]
+    hits = sum(
+        len(set(map(int, out_ids[i])) & set(map(int, ids[exact[i]])))
+        for i in range(len(queries))
+    )
+    recall = hits / (len(queries) * 10)
+    assert recall >= 0.9, f"tree-AH recall@10 {recall:.3f}"
+    # reorder stage returns EXACT scores for the hits (f16/bf16 tolerance)
+    exact_best = (queries[0] @ vectors[out_ids[0][0] - 10]).item()
+    assert abs(scores[0][0] - exact_best) / abs(exact_best) < 0.02
+
+    index.save(str(tmp_path))
+    index2 = ScaNNTreeAHIndex(config)
+    index2.load(str(tmp_path))
+    s2, i2 = index2.search(queries[:4], top_n=10)
+    assert np.array_equal(i2, out_ids[:4])
+
+
+def test_scann_tree_ah_anisotropic_scale_reduces_parallel_error(rng):
+    """The γ correction must shrink the score-direction (parallel) component
+    of the quantization error vs plain round-to-nearest int8 — the property
+    the anisotropic loss buys (Guo et al. ICML'20)."""
+    from matchmaker_tpu.retrieval.scann_tree_ah import ScaNNTreeAHIndex
+
+    n, d = 1024, 64
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    index = ScaNNTreeAHIndex({
+        "scann_num_leaves": 8, "token_dtype": "float16",
+    })
+    index.prepare(d)
+    index.index(np.arange(n), vectors)
+    v_sorted = vectors[index._sorted_rows]
+    r = v_sorted - index._centroids[index._leaf_of_row]
+    r_hat = index._codes.astype(np.float32) * index._scales[:, None]
+    # parallel error: component of (r - r̂) along r, relative to ‖r‖
+    err = r - r_hat
+    par = np.abs(np.einsum("nd,nd->n", err, r)) / np.maximum(
+        np.einsum("nd,nd->n", r, r), 1e-12
+    )
+    # plain int8 (no γ): same codes, scale = max|r|/127
+    s0 = np.maximum(np.abs(r).max(axis=1) / 127.0, 1e-12)
+    err0 = r - index._codes.astype(np.float32) * s0[:, None]
+    par0 = np.abs(np.einsum("nd,nd->n", err0, r)) / np.maximum(
+        np.einsum("nd,nd->n", r, r), 1e-12
+    )
+    assert par.mean() < par0.mean() * 0.9, (par.mean(), par0.mean())
