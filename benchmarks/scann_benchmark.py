@@ -92,8 +92,11 @@ def main():
     for lts in sweeps:
         index.nprobe = lts
         log(f"leaves_to_search={lts}: warm-up (compile + device upload)")
+        # warm with the FULL query shape: search chunks queries by the
+        # candidate budget, so a small warm-up batch compiles a different
+        # chunk shape and the timed run would re-compile inside the clock
         t0 = time.perf_counter()
-        index.search(q_np[:8], args.k)
+        index.search(q_np, args.k)
         log(f"  warm in {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         vals, ids = index.search(q_np, args.k)

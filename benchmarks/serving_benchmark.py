@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="run encode+search as ONE program (measured 3x slower "
                          "- XLA/Mosaic scheduling pathology; kept to reproduce)")
+    ap.add_argument("--fused-encoder", action="store_true",
+                    help="whole-layer Pallas kernels in the query encoder "
+                         "(ops/fused_attention.py) — the production encode config")
     args = ap.parse_args()
 
     from matchmaker_tpu.models.bert_dot import BertDot
@@ -96,7 +99,9 @@ def main():
 
     # query encoder: DistilBERT-class, bf16 compute + bf16 norms (inference path)
     model = BertDot(
-        encoder_cfg=EncoderConfig.distilbert(norms_in_compute_dtype=True),
+        encoder_cfg=EncoderConfig.distilbert(
+            norms_in_compute_dtype=True, fused_attention=args.fused_encoder
+        ),
         return_vecs=False, compute_dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)

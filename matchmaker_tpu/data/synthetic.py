@@ -73,7 +73,7 @@ def make_planted_corpus(
             for _ in range(triples_per_query):
                 f.write(f"{q}\t{rel_doc(q)}\t{irrel_doc()}\n")
 
-    with open(paths["queries"], "w") as fq, open(paths["qrels"], "w") as fr:
+    with open(paths["queries"], "w") as fq:
         rel_lines = []
         for qi in range(n_eval_queries):
             q = make_query(10_000_000 + qi)  # disjoint from train queries

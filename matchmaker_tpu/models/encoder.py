@@ -64,14 +64,32 @@ class EncoderConfig:
 
 
 class _AttnParams(nn.Module):
-    """Bare kernel+bias holder matching one DenseGeneral's param names."""
+    """Bare kernel+bias holder matching one DenseGeneral's param names.
+
+    ``in_dims`` = number of leading kernel axes that are input dims. The
+    initializer computes fans on the flattened 2D view, exactly like flax
+    ``DenseGeneral`` — naive lecun_normal on a (hid, heads, head_dim) shape
+    would infer fan_in = heads*hid and start q/k/v weights ~sqrt(heads)x too
+    small vs the non-fused flax path these params claim to be a pure swap for.
+    """
 
     kernel_shape: tuple
     bias_shape: tuple
+    in_dims: int = 1
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.kernel_shape)
+        def flat_init(key, shape, dtype=jnp.float32):
+            fan_in = 1
+            for s in shape[: self.in_dims]:
+                fan_in *= int(s)
+            fan_out = 1
+            for s in shape[self.in_dims :]:
+                fan_out *= int(s)
+            flat = nn.initializers.lecun_normal()(key, (fan_in, fan_out), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param("kernel", flat_init, self.kernel_shape)
         bias = self.param("bias", nn.initializers.zeros_init(), self.bias_shape)
         return kernel, bias
 
@@ -114,7 +132,7 @@ class FusedMHABlock(nn.Module):
         wq, bq = _AttnParams((hid, h, d), (h, d), name="query")()
         wk, bk = _AttnParams((hid, h, d), (h, d), name="key")()
         wv, bv = _AttnParams((hid, h, d), (h, d), name="value")()
-        wo, bo = _AttnParams((h, d, hid), (hid,), name="out")()
+        wo, bo = _AttnParams((h, d, hid), (hid,), in_dims=2, name="out")()
         cd = self.compute_dtype
         args = (
             x.astype(cd),

@@ -224,7 +224,7 @@ def fused_mlp_block_train(x, w1, b1, w2, b2, ln_scale, ln_bias,
                           ln_eps=1e-12, block_b=8, ff_chunks=4):
     """Differentiable LN(x + W2·gelu(W1·x + b1) + b2): Pallas fwd AND bwd."""
     return fused_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias,
-                           ln_eps=ln_eps, block_b=16, ff_chunks=ff_chunks)
+                           ln_eps=ln_eps, block_b=block_b, ff_chunks=ff_chunks)
 
 
 def _mlp_train_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, ln_eps, block_b, ff_chunks):
@@ -232,11 +232,12 @@ def _mlp_train_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, ln_eps, block_b, ff_chu
         # forward additionally emits the pre-LN residual sum; the backward
         # kernel then needs no acc-recompute pass
         out, acc = fused_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias,
-                                   ln_eps=ln_eps, ff_chunks=ff_chunks,
-                                   save_acc=True)
+                                   ln_eps=ln_eps, block_b=block_b,
+                                   ff_chunks=ff_chunks, save_acc=True)
     else:
         out = fused_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias,
-                              ln_eps=ln_eps, ff_chunks=ff_chunks)
+                              ln_eps=ln_eps, block_b=block_b,
+                              ff_chunks=ff_chunks)
         acc = None
     return out, (x, w1, b1, w2, b2, ln_scale, acc)
 

@@ -677,6 +677,12 @@ class IVFIndex(BaseNNIndexer):
         itemsize = self._sorted_vectors.dtype.itemsize
         # bound the (Qc, R, D) gathered working set to ~1 GB
         chunk_q = max(1, int(1e9 / (r_budget * dim * itemsize)))
+        # score in bf16 only when the index stores 16-bit vectors; a
+        # token_dtype float32 index paid 2x memory for exact f32 ranking
+        # and must keep it (matches the sharded path, line 624)
+        compute_dtype = (
+            jnp.bfloat16 if self._sorted_vectors.dtype.itemsize == 2 else jnp.float32
+        )
 
         @jax.jit
         def run_chunk(qc, corpus, centroids, offsets):
@@ -699,8 +705,8 @@ class IVFIndex(BaseNNIndexer):
             )
             valid = j[None, :] < total[:, None]
             idx = jnp.where(valid, idx, 0)
-            cand = corpus[idx].astype(jnp.bfloat16)  # (Qc, R, D) CSR gather
-            scores = jnp.einsum("qd,qrd->qr", qc.astype(jnp.bfloat16), cand,
+            cand = corpus[idx].astype(compute_dtype)  # (Qc, R, D) CSR gather
+            scores = jnp.einsum("qd,qrd->qr", qc.astype(compute_dtype), cand,
                                 preferred_element_type=jnp.float32)
             scores = jnp.where(valid, scores, -jnp.inf)
             k = min(top_n, r_budget)
@@ -886,7 +892,12 @@ class StreamingFlatIndex(BaseNNIndexer):
             empty = np.full((q.shape[0], top_n), -np.inf, np.float32)
             return empty, np.full((q.shape[0], top_n), -1)
         block_rows = max(b.shape[0] for b in self._blocks)
-        k = min(top_n, block_rows)
+        # one block can contribute at most block_rows results, but the RUNNING
+        # merge must keep the full requested width — with many small blocks the
+        # true top-N spans blocks (top_n > block_rows loses real hits otherwise)
+        block_k = min(top_n, block_rows)
+        total_rows = int(self._offsets[-1])
+        k = min(top_n, total_rows)
         dim = self._blocks[0].shape[1]
 
         @jax.jit
@@ -894,7 +905,7 @@ class StreamingFlatIndex(BaseNNIndexer):
             scores = jnp.einsum("qd,nd->qn", q, block, preferred_element_type=jnp.float32)
             row = jnp.arange(scores.shape[1])
             scores = jnp.where(row[None, :] < n_valid, scores, -jnp.inf)
-            vals, idx = jax.lax.top_k(scores, k)
+            vals, idx = jax.lax.top_k(scores, block_k)
             idx = jnp.where(jnp.isfinite(vals), idx + offset, -1)
             return vals, idx
 
@@ -915,6 +926,10 @@ class StreamingFlatIndex(BaseNNIndexer):
 
         dev, nv = put(0)
         merged_v, merged_i = block_topk(q, dev, nv, self._offsets[0])
+        if block_k < k:  # widen the running buffer to the merge width (once)
+            padw = k - block_k
+            merged_v = jnp.pad(merged_v, ((0, 0), (0, padw)), constant_values=-jnp.inf)
+            merged_i = jnp.pad(merged_i, ((0, 0), (0, padw)), constant_values=-1)
         for bi in range(1, len(self._blocks)):
             dev, nv = put(bi)  # host work overlaps the device's previous block
             v, i = block_topk(q, dev, nv, self._offsets[bi])

@@ -9,6 +9,7 @@ share a doc id; keep the max score per doc, dense_retrieval.py:414-429).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, List, Tuple
 
 import numpy as np
@@ -71,12 +72,23 @@ def search_queries(
             # batch — hand the whole query stream to the working path instead
             # of crashing (the stream restarts from the file, so nothing from
             # this probe batch is lost).
-            from matchmaker_tpu.retrieval.colbert_search import colbert_search_queries
+            from matchmaker_tpu.retrieval.colbert_search import (
+                TokenVectorStore,
+                colbert_search_queries,
+            )
 
             perf.stop_block("search_total", 0)
+            rescore_n = int(config.get("colbert_rescore_n", 0))
+            rescore_store = None
+            enc_folder = config.get("encode_folder")
+            if rescore_n > 0 and enc_folder and os.path.isdir(enc_folder):
+                rescore_store = TokenVectorStore(enc_folder)
             return colbert_search_queries(
                 encode_fn, params, config, tokenizer, indexer, query_path, top_n,
-                per_token_candidates=int(config.get("colbert_token_candidates", 64)),
+                per_token_candidates=int(config.get("colbert_per_token_candidates", 64)),
+                rescore_store=rescore_store,
+                rescore_n=rescore_n,
+                device_merge=bool(config.get("colbert_device_merge", True)),
             )
         perf.start_block("search_nn_lookup")
         scores, ids = indexer.search(q_vecs, fetch_n)

@@ -182,13 +182,23 @@ class Trainer:
             # (reference IrDynamicTripleDatasetLoader, list_training_loader.py:30)
             from matchmaker_tpu.data.list_sampler import ListwiseDynamicSampler
 
+            # the batch's leading (query) dim is sharded over every mesh device
+            # — round up so device_put can split it (4 queries on 8 chips fails)
+            n_dev = int(self.mesh.devices.size)
+            qpb = config.get("queries_per_batch", 4)
+            qpb_sharded = -(-qpb // n_dev) * n_dev
+            if qpb_sharded != qpb:
+                print(
+                    f"[trainer] queries_per_batch {qpb} not divisible by the "
+                    f"{n_dev}-device mesh; using {qpb_sharded}", flush=True,
+                )
             sampler = ListwiseDynamicSampler(
                 collection_file=config["dynamic_sampler_collection"],
                 query_file=config["dynamic_sampler_queries"],
                 qrels_file=config["dynamic_sampler_qrels"],
                 candidate_file=config["dynamic_sampler_candidates"],
                 list_size=config.get("list_size", 8),
-                queries_per_batch=config.get("queries_per_batch", 4),
+                queries_per_batch=qpb_sharded,
                 seed=config.get("random_seed", 42),
             )
         elif config.get("dynamic_sampler", False):

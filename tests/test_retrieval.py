@@ -188,6 +188,67 @@ def test_streaming_index_matches_flat(rng, tmp_path, eight_devices):
         assert [f"d{i}" for i in ref[1][qi]] == list(ids[qi])
 
 
+def test_streaming_index_topn_wider_than_block(rng, tmp_path, eight_devices):
+    """top_n > per-block rows: the running merge must keep the full requested
+    width — a per-block-capped merge silently loses cross-block hits (round-3
+    review finding: k = min(top_n, block_rows) padded 400 of 1000 slots)."""
+    from matchmaker_tpu.retrieval.encode import BlockWriter
+    from matchmaker_tpu.retrieval.indexes import StreamingFlatIndex
+    import json
+
+    vectors = rng.normal(size=(120, 16)).astype(np.float32)
+    folder = str(tmp_path / "enc_wide")
+    writer = BlockWriter(folder, 16, block_rows=40, dtype=np.float32)
+    infos = {}
+    for i in range(120):
+        block, start, end = writer.append(vectors[i : i + 1])
+        infos[f"d{i}"] = (block, start, end)
+    writer.flush()
+    np.savez_compressed(
+        os.path.join(folder, "doc_infos.npz"),
+        ids=np.array(list(infos.keys())),
+        spans=np.array(list(infos.values()), dtype=np.int64),
+    )
+    with open(os.path.join(folder, "encode_meta.json"), "w") as f:
+        json.dump({"dim": 16, "dtype": "float32", "blocks": writer.block_num,
+                   "sequences": 120}, f)
+
+    index = StreamingFlatIndex({"token_dtype": "float32"})
+    index.index_from_folder(folder)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    top_n = 100  # > block_rows=40: spans all 3 blocks
+    vals, ids = index.search(q, top_n)
+    ref_vals, ref_idx = _numpy_topk(q, vectors, top_n)
+    for qi in range(3):
+        assert "-1" not in set(ids[qi]) and -1 not in set(ids[qi])
+        assert [f"d{i}" for i in ref_idx[qi]] == list(ids[qi])
+        np.testing.assert_allclose(vals[qi], ref_vals[qi], rtol=1e-4, atol=1e-5)
+
+
+def test_ivf_f32_storage_scores_in_f32(rng):
+    """token_dtype float32 pays 2x memory for exact ranking — the search must
+    not silently cast candidates to bf16 (round-3 review finding)."""
+    from matchmaker_tpu.retrieval.indexes import IVFIndex
+
+    n, d = 1024, 32
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    ids = np.array([f"d{i}" for i in range(n)])
+    index = IVFIndex({"token_dtype": "float32", "faiss_ivf_list_count": 4,
+                      "faiss_ivf_nprobe": 4, "ivf_train_iters": 3})
+    index.index(ids, vectors)
+    q = vectors[:8]  # self-retrieval; exhaustive probe = exact
+    vals, got = index.search(q, 5)
+    # exact f32 ranking: self-score 1.0 at rank 0, and the returned score
+    # must carry f32 precision (a bf16 einsum rounds 1.0-eps scores to ~1e-2
+    # granularity; check against the f32 ground truth)
+    exact = q @ vectors.T
+    for qi in range(8):
+        assert got[qi][0] == f"d{qi}"
+        top_exact = np.sort(exact[qi])[::-1][:5]
+        np.testing.assert_allclose(vals[qi], top_exact, atol=1e-5)
+
+
 def test_ivf_csr_storage_is_flat_footprint_and_recalls(rng):
     """CSR layout: index memory ~= flat corpus footprint even with skewed
     cluster sizes (VERDICT weak #3 — the padded (C, max, D) layout exploded);
