@@ -36,13 +36,15 @@ def log(msg):
 
 
 def timed(fn, *args, iters=30):
-    """Seed-chained timing: fn must return a scalar-reducible array."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Seed-chained timing (the tunnel's block_until_ready is async): each
+    call's input depends on the previous scalar output, and one tiny
+    device->host fetch at the end forces the whole chain."""
+    tok = fn(jnp.float32(0.0), *args)
+    _ = float(tok)  # warm + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        tok = fn(tok, *args)
+    _ = float(tok)
     return (time.perf_counter() - t0) / iters
 
 
@@ -57,23 +59,29 @@ def main():
     wq = jnp.asarray(rng.integers(-127, 127, size=(k, n)), jnp.int8)
 
     @jax.jit
-    def mm_bf16(x, w):
-        return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    def mm_bf16(tok, x, w):
+        xx = x + tok.astype(x.dtype)  # serialize on the previous output
+        out = jax.lax.dot_general(xx, w, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return jnp.abs(out).sum() * 1e-30  # consume the FULL output
 
     @jax.jit
-    def mm_int8(xq, wq):
-        return jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
+    def mm_int8(tok, xq, wq):
+        xx = (xq + (tok.astype(jnp.int32) % 2).astype(jnp.int8)).astype(jnp.int8)
+        out = jax.lax.dot_general(xx, wq, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return jnp.abs(out).sum().astype(jnp.float32) * 1e-30
 
     @jax.jit
-    def mm_int8_chain(x, wq, wscale):
+    def mm_int8_chain(tok, x, wq, wscale):
         # the real int8 path: dynamic per-row activation quant + dequant
-        s = jnp.max(jnp.abs(x), axis=1, keepdims=True).astype(jnp.float32) / 127.0
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+        xx = x + tok.astype(x.dtype)
+        s = jnp.max(jnp.abs(xx), axis=1, keepdims=True).astype(jnp.float32) / 127.0
+        xq = jnp.clip(jnp.round(xx.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
         acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
-        return acc.astype(jnp.float32) * (s * wscale[None, :])
+        out = acc.astype(jnp.float32) * (s * wscale[None, :])
+        return jnp.abs(out).sum() * 1e-30
 
     wscale = jnp.ones((n,), jnp.float32)
 
@@ -94,15 +102,17 @@ def main():
     bm = 512
 
     @jax.jit
-    def mm_int8_pallas(xq, wq):
-        return pl.pallas_call(
+    def mm_int8_pallas(tok, xq, wq):
+        xx = (xq + (tok.astype(jnp.int32) % 2).astype(jnp.int8)).astype(jnp.int8)
+        out = pl.pallas_call(
             pk,
             grid=(m // bm,),
             in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0)),
                       pl.BlockSpec((k, n), lambda i: (0, 0))],
             out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
-        )(xq, wq)
+        )(xx, wq)
+        return jnp.abs(out).sum().astype(jnp.float32) * 1e-30
 
     try:
         t_pallas = timed(mm_int8_pallas, xq, wq)

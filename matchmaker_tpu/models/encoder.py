@@ -44,6 +44,15 @@ class EncoderConfig:
     # encode shapes (B=1024, L=128). Forward-only, so inference paths only;
     # the adapter falls back to flax attention under active dropout.
     fused_attention: bool = False
+    # Int8 MXU dots on the INFERENCE path (ops/fused_int8.py): weights
+    # per-channel + activations per-row symmetric int8, dequant in-kernel.
+    # int8_mlp quantizes the MLP half's two matmuls (~57% of layer FLOPs,
+    # measured +15% encode); int8_attention additionally quantizes the
+    # Q/K/V/out projections (the attention inner math stays bf16/f32).
+    # Both require fused_attention; training and non-deterministic passes
+    # keep the bf16 kernels (the int8 kernels are forward-only).
+    int8_mlp: bool = False
+    int8_attention: bool = False
 
     @classmethod
     def distilbert(cls, **kw):
@@ -124,6 +133,7 @@ class FusedMHABlock(nn.Module):
     features: int
     ln_eps: float = 1e-12
     compute_dtype: jnp.dtype = jnp.bfloat16
+    int8_projections: bool = False  # inference-only int8 Q/K/V/out dots
 
     @nn.compact
     def __call__(self, x, key_mask, ln_scale, ln_bias, deterministic=True):
@@ -149,6 +159,27 @@ class FusedMHABlock(nn.Module):
         )
         from matchmaker_tpu.ops.fused_backward import fused_attention_block_train
 
+        if self.int8_projections and deterministic:
+            # inference-only int8 projections: weights quantized per output
+            # channel HERE (params stay full precision), activations per row
+            # in-kernel (ops/fused_int8.py)
+            from matchmaker_tpu.ops.fused_int8 import (
+                fused_attention_int8_block,
+                quantize_weights_per_col,
+            )
+
+            wqq, sq = quantize_weights_per_col(wq.reshape(hid, hid))
+            wkq, sk = quantize_weights_per_col(wk.reshape(hid, hid))
+            wvq, sv = quantize_weights_per_col(wv.reshape(hid, hid))
+            woq, so = quantize_weights_per_col(wo.reshape(hid, hid))
+            return fused_attention_int8_block(
+                x.astype(cd), wqq, sq, wkq, sk, wvq, sv, woq, so,
+                bq.reshape(hid).astype(jnp.float32),
+                bk.reshape(hid).astype(jnp.float32),
+                bv.reshape(hid).astype(jnp.float32), bo.astype(jnp.float32),
+                key_mask, h, ln_scale.astype(jnp.float32),
+                ln_bias.astype(jnp.float32), ln_eps=self.ln_eps,
+            )
         if deterministic or _on_tpu():
             # differentiable: Pallas forward + Pallas backward (custom VJP,
             # ops/fused_backward.py) — training runs the fused kernels too.
@@ -177,6 +208,7 @@ class EncoderLayer(nn.Module):
                 features=cfg.hidden_size,
                 ln_eps=cfg.layer_norm_eps,
                 compute_dtype=self.compute_dtype,
+                int8_projections=cfg.int8_attention,
                 name="attention",
             )(x, key_mask, ln_scale, ln_bias, deterministic)
         else:
@@ -207,6 +239,22 @@ class EncoderLayer(nn.Module):
             from matchmaker_tpu.ops.fused_backward import fused_mlp_block_train
 
             cd = self.compute_dtype
+            if cfg.int8_mlp and deterministic:
+                # inference-only int8 MLP half: weights quantized per output
+                # channel HERE (inside the jit — params stay full precision,
+                # checkpoints/HF import oblivious), activations per row
+                # in-kernel (ops/fused_int8.py)
+                from matchmaker_tpu.ops.fused_int8 import (
+                    fused_mlp_int8_block,
+                    quantize_weights_per_col,
+                )
+
+                w1q, s1 = quantize_weights_per_col(w1)
+                w2q, s2 = quantize_weights_per_col(w2)
+                return fused_mlp_int8_block(
+                    x.astype(cd), w1q, s1, b1, w2q, s2, b2,
+                    ln2_scale, ln2_bias, ln_eps=cfg.layer_norm_eps,
+                )
             mlp_args = (x.astype(cd), w1.astype(cd), b1, w2.astype(cd), b2,
                         ln2_scale, ln2_bias)
             if deterministic or _on_tpu():
@@ -322,4 +370,14 @@ def encoder_config_from_model_name(config) -> EncoderConfig:
         overrides["norms_in_compute_dtype"] = True
     if config.get("encoder_fused_attention"):
         overrides["fused_attention"] = True
+    if config.get("encoder_int8_mlp"):
+        # int8 MXU dots for the MLP half, inference only (ops/fused_int8.py);
+        # implies the fused whole-layer kernels
+        overrides["fused_attention"] = True
+        overrides["int8_mlp"] = True
+    if config.get("encoder_int8"):
+        # full int8 projections: MLP half AND the attention Q/K/V/out dots
+        overrides["fused_attention"] = True
+        overrides["int8_mlp"] = True
+        overrides["int8_attention"] = True
     return dataclasses.replace(cfg, **overrides) if overrides else cfg

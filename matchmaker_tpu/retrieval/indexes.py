@@ -16,6 +16,7 @@ padded per-cluster layout (static shapes). Vectors are stored fp16 on disk
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Optional, Tuple
@@ -295,33 +296,35 @@ class FlatIndex(BaseNNIndexer):
         self._device_vectors = None
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
 def _kmeanspp_init(vectors: jnp.ndarray, k: int, key) -> jnp.ndarray:
-    """k-means++ (D² sampling) init — k sequential device steps.
+    """k-means++ (D² sampling) init — ONE jitted fori_loop over k steps.
 
     Random init on skewed corpora lands most seeds inside the dominant
     cluster and Lloyd cannot un-merge the starved small clusters (measured:
     2x worse mean quantization distance on a half-mass-in-one-cluster
-    corpus). D² seeding fixes that; used for k ≤ 2048 where the k sequential
-    dispatches are cheap — at IVF reference scale (20k lists) random init is
-    statistically safe (≥100 points per centroid in the training sample)."""
-    n = vectors.shape[0]
+    corpus). D² seeding fixes that; used for k ≤ 2048. The whole seeding
+    runs device-side in a single dispatch — a Python loop of eager ops here
+    measured ~45 min through the tunnel's per-dispatch latency at k=1000
+    (999 steps × 3 ops × 2 init candidates), plus a 1000-input jnp.stack
+    compile; vectors stay a jit argument (a closure would serialize the
+    training set into the remote-compile payload)."""
+    n, d = vectors.shape
     first = jax.random.randint(key, (), 0, n)
-    chosen = [vectors[first]]
-    d2 = jnp.full((n,), jnp.inf, jnp.float32)
+    centers0 = jnp.zeros((k, d), vectors.dtype).at[0].set(vectors[first])
 
-    @jax.jit
-    def next_center(vectors, d2, c, key):
-        # vectors as an ARGUMENT: a closure would serialize the training set
-        # into the remote-compile payload
+    def body(i, state):
+        centers, d2, key = state
+        c = centers[i - 1].astype(jnp.float32)
         d2 = jnp.minimum(d2, ((vectors.astype(jnp.float32) - c) ** 2).sum(-1))
-        idx = jax.random.categorical(key, jnp.log(jnp.maximum(d2, 1e-30)))
-        return d2, idx
-
-    for i in range(1, k):
         key, sub = jax.random.split(key)
-        d2, idx = next_center(vectors, d2, chosen[-1].astype(jnp.float32), sub)
-        chosen.append(vectors[idx])
-    return jnp.stack(chosen)
+        idx = jax.random.categorical(sub, jnp.log(jnp.maximum(d2, 1e-30)))
+        return centers.at[i].set(vectors[idx]), d2, key
+
+    centers, _, _ = jax.lax.fori_loop(
+        1, k, body, (centers0, jnp.full((n,), jnp.inf, jnp.float32), key)
+    )
+    return centers
 
 
 def kmeans(

@@ -203,3 +203,147 @@ def test_fused_encoder_through_bert_dot_retrieval():
     s0 = np.asarray(m0.apply({"params": params}, batch)["score"])
     s1 = np.asarray(m1.apply({"params": params}, batch)["score"])
     np.testing.assert_allclose(s0, s1, atol=1e-3, rtol=1e-4)
+
+
+def test_int8_mlp_kernel_close_to_f32():
+    """ops/fused_int8.py: the int8 MLP half (per-channel weights, per-row
+    activations, int32 accumulation) must track the f32 MLP reference to
+    quantization noise — cosine >= 0.9999 per row and the Pallas kernel
+    (interpret mode here) must be bit-consistent with its jnp reference."""
+    from matchmaker_tpu.ops.fused_attention import reference_mlp_block
+    from matchmaker_tpu.ops.fused_int8 import (
+        fused_mlp_int8_block,
+        quantize_weights_per_col,
+        reference_mlp_int8_block,
+    )
+
+    rng = np.random.default_rng(2)
+    B, L, HID, FF = 4, 24, 64, 128
+    x = jnp.asarray(rng.normal(size=(B, L, HID)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(HID, FF)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(FF, HID)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(FF,)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(HID,)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(HID,)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(HID,)) * 0.1, jnp.float32)
+
+    w1q, s1 = quantize_weights_per_col(w1)
+    w2q, s2 = quantize_weights_per_col(w2)
+    o_int8 = fused_mlp_int8_block(x, w1q, s1, b1, w2q, s2, b2, g, be,
+                                  ff_chunks=2)
+    o_ref_q = reference_mlp_int8_block(x, w1q, s1, b1, w2q, s2, b2, g, be,
+                                       ff_chunks=2)
+    # kernel == jnp reference of the same quantized math (tight)
+    np.testing.assert_allclose(np.asarray(o_int8), np.asarray(o_ref_q),
+                               atol=2e-4, rtol=1e-4)
+    # quantized output tracks the f32 math to int8 noise
+    o_f32 = reference_mlp_block(x, w1, b1, w2, b2, g, be)
+    a = np.asarray(o_int8).reshape(-1, HID).astype(np.float64)
+    b = np.asarray(o_f32).reshape(-1, HID).astype(np.float64)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_int8_mlp_through_encoder_config():
+    """encoder_int8_mlp config key: param tree unchanged, deterministic
+    (inference) outputs near the f32 path, and training-mode apply does NOT
+    take the int8 branch (it is forward-only)."""
+    from matchmaker_tpu.models.encoder import (
+        EncoderConfig,
+        TransformerEncoderLM,
+        encoder_config_from_model_name,
+    )
+
+    cfg_yaml = {"bert_pretrained_model": "tiny-test", "encoder_int8_mlp": True}
+    ecfg = encoder_config_from_model_name(cfg_yaml)
+    assert ecfg.int8_mlp and ecfg.fused_attention
+
+    rng = np.random.default_rng(3)
+    m0 = TransformerEncoderLM(EncoderConfig.tiny(), jnp.float32)
+    mq = TransformerEncoderLM(
+        EncoderConfig.tiny(fused_attention=True, int8_mlp=True), jnp.float32
+    )
+    ids = rng.integers(2, 900, size=(4, 24)).astype(np.int32)
+    mask = np.ones((4, 24), np.float32)
+    mask[1, 15:] = 0
+    p0 = m0.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    pq = mq.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(pq)
+    o0 = np.asarray(m0.apply({"params": p0}, ids, mask))
+    oq = np.asarray(mq.apply({"params": p0}, ids, mask))
+    # int8 noise accumulates over layers; cosine per token stays high
+    a = oq.reshape(-1, o0.shape[-1]).astype(np.float64)
+    b = o0.reshape(-1, o0.shape[-1]).astype(np.float64)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_int8_attention_kernel_close_to_f32():
+    """ops/fused_int8.py attention half: int8 Q/K/V/out projections must
+    track the f32 attention block to quantization noise, and the Pallas
+    kernel (interpret mode) must match its jnp reference tightly."""
+    from matchmaker_tpu.ops.fused_attention import reference_attention_block
+    from matchmaker_tpu.ops.fused_int8 import (
+        fused_attention_int8_block,
+        quantize_weights_per_col,
+        reference_attention_int8_block,
+    )
+
+    rng = np.random.default_rng(4)
+    B, L, HID, NH = 4, 24, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, L, HID)) * 0.5, jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=(HID, HID)) * 0.1, jnp.float32) for _ in range(4)]
+    bs = [jnp.asarray(rng.normal(size=(HID,)) * 0.05, jnp.float32) for _ in range(4)]
+    g = jnp.asarray(rng.normal(size=(HID,)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(HID,)) * 0.1, jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[2, 18:] = 0
+    mask = jnp.asarray(mask)
+
+    quant = [quantize_weights_per_col(w) for w in ws]
+    qargs = []
+    for wq, s in quant:
+        qargs.extend([wq, s])
+    o_int8 = fused_attention_int8_block(x, *qargs, *bs, mask, NH, g, be)
+    o_ref_q = reference_attention_int8_block(x, *qargs, *bs, mask, NH, g, be)
+    np.testing.assert_allclose(np.asarray(o_int8), np.asarray(o_ref_q),
+                               atol=2e-4, rtol=1e-4)
+    o_f32 = reference_attention_block(x, *ws, *bs, mask, NH, g, be)
+    a = np.asarray(o_int8).reshape(-1, HID).astype(np.float64)
+    b = np.asarray(o_f32).reshape(-1, HID).astype(np.float64)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_full_int8_encoder_config():
+    """encoder_int8 config key enables both int8 halves; outputs stay close
+    to the f32 path through a full tiny encoder."""
+    from matchmaker_tpu.models.encoder import (
+        EncoderConfig,
+        TransformerEncoderLM,
+        encoder_config_from_model_name,
+    )
+
+    ecfg = encoder_config_from_model_name(
+        {"bert_pretrained_model": "tiny-test", "encoder_int8": True}
+    )
+    assert ecfg.int8_mlp and ecfg.int8_attention and ecfg.fused_attention
+
+    rng = np.random.default_rng(5)
+    m0 = TransformerEncoderLM(EncoderConfig.tiny(), jnp.float32)
+    mq = TransformerEncoderLM(
+        EncoderConfig.tiny(fused_attention=True, int8_mlp=True,
+                           int8_attention=True), jnp.float32
+    )
+    ids = rng.integers(2, 900, size=(4, 24)).astype(np.int32)
+    mask = np.ones((4, 24), np.float32)
+    mask[1, 15:] = 0
+    p0 = m0.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    pq = mq.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(pq)
+    o0 = np.asarray(m0.apply({"params": p0}, ids, mask))
+    oq = np.asarray(mq.apply({"params": p0}, ids, mask))
+    a = oq.reshape(-1, o0.shape[-1]).astype(np.float64)
+    b = o0.reshape(-1, o0.shape[-1]).astype(np.float64)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.99, cos.min()
