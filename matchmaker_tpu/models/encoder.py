@@ -19,8 +19,32 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import warnings
+
 import flax.linen as nn
 import jax.numpy as jnp
+
+_warned_fused_dropout = False
+
+
+def _warn_fused_dropout_noop():
+    """One-time warning: fused layers silently skip dropout while training.
+
+    The fused whole-layer kernels (ops/fused_attention.py / fused_backward.py)
+    do not implement attention/hidden dropout — a documented speed trade
+    (docs/tpu_design.md), but a user training with ``dropout > 0`` and
+    ``encoder_fused_attention: true`` must see the regularization change."""
+    global _warned_fused_dropout
+    if not _warned_fused_dropout:
+        _warned_fused_dropout = True
+        warnings.warn(
+            "encoder_fused_attention is enabled with dropout > 0 in a "
+            "non-deterministic (training) pass: dropout is a NO-OP inside the "
+            "fused Pallas layers. Set dropout: 0.0 to silence, or disable "
+            "encoder_fused_attention to train with dropout.",
+            UserWarning,
+            stacklevel=3,
+        )
 
 
 @dataclass(frozen=True)
@@ -319,6 +343,8 @@ class TransformerEncoderLM(nn.Module):
 
     def encode_layers(self, x, mask, start: int, end: int, deterministic: bool = True):
         """Run layers [start, end) on already-embedded inputs (PreTTR join)."""
+        if not deterministic and self.cfg.fused_attention and self.cfg.dropout > 0:
+            _warn_fused_dropout_noop()
         attn_mask = (mask > 0)[:, None, None, :]
         x = x.astype(self.compute_dtype)
         for layer in self.layers[start:end]:

@@ -1,20 +1,23 @@
 """Training-scalar logging: TensorBoard + CSV.
 
 Contract: reference train.py:280-293,570-574,623-661 — ~20 training stats
-flushed every 100 steps to TensorBoard plus CSVs. Here a thin writer that
-mirrors every scalar to both sinks, gated on tensorboard availability.
+flushed every 100 steps to TensorBoard plus CSVs. Every scalar goes to both
+sinks: TensorBoard (when available) and a long-format
+``{prefix}-scalars.csv`` (step, name, value) in the run folder — the CSV
+works even where tensorboard isn't installed.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict
+from typing import Dict, Optional, TextIO
 
 
 class ScalarWriter:
     def __init__(self, run_folder: str, enable_tensorboard: bool = True):
         self.run_folder = run_folder
         self._tb = None
+        self._csv: Dict[str, TextIO] = {}
         if enable_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -23,18 +26,45 @@ class ScalarWriter:
             except Exception:
                 self._tb = None
 
+    def _csv_sink(self, prefix: str) -> Optional[TextIO]:
+        if prefix not in self._csv:
+            try:
+                path = os.path.join(self.run_folder, f"{prefix}-scalars.csv")
+                fresh = not os.path.exists(path)
+                f = open(path, "a", encoding="utf-8")
+                if fresh:
+                    f.write("step,name,value\n")
+                self._csv[prefix] = f
+            except Exception:
+                self._csv[prefix] = None
+        return self._csv[prefix]
+
     def write(self, scalars: Dict[str, float], step: int, prefix: str = "train") -> None:
-        if self._tb is not None:
-            for k, v in scalars.items():
+        csv = self._csv_sink(prefix)
+        for k, v in scalars.items():
+            try:
+                fv = float(v)
+            except Exception:
+                continue
+            if self._tb is not None:
                 try:
-                    self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+                    self._tb.add_scalar(f"{prefix}/{k}", fv, step)
                 except Exception:
                     pass
+            if csv is not None:
+                csv.write(f"{step},{k},{fv}\n")
 
     def flush(self) -> None:
         if self._tb is not None:
             self._tb.flush()
+        for f in self._csv.values():
+            if f is not None:
+                f.flush()
 
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
+        for f in self._csv.values():
+            if f is not None:
+                f.close()
+        self._csv.clear()

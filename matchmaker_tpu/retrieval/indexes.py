@@ -346,9 +346,10 @@ def kmeans(
     # distortion solution; at IVF reference scale (20k lists) the ++ pass's k
     # sequential dispatches aren't worth it and random init is statistically
     # safe (≥100 training points per centroid).
-    inits = [vectors[jax.random.choice(key, n, (k,), replace=False)]]
+    k_rand, k_pp = jax.random.split(key)
+    inits = [vectors[jax.random.choice(k_rand, n, (k,), replace=False)]]
     if k <= 2048:
-        inits.append(_kmeanspp_init(vectors, k, key))
+        inits.append(_kmeanspp_init(vectors, k, k_pp))
 
     n_blocks = -(-n // block_size)
     padded_n = n_blocks * block_size

@@ -145,13 +145,15 @@ class ScaNNTreeAHIndex(IVFIndex):
             ) * scales[idx]
             ah = ah + jnp.take_along_axis(cent_scores, leaf_of_row[idx], axis=1)
             ah = jnp.where(valid, ah, -jnp.inf)
-            # reorder stage: exact f16 rescore of the AH top-reorder_k
+            # reorder stage: exact rescore of the AH top-reorder_k in f32 —
+            # reorder_k is small, so full precision costs nothing and keeps
+            # the f16 corpus rows' 10-bit mantissa (bf16 would drop to 8)
             _, pos = jax.lax.top_k(ah, reorder_k)
             ridx = jnp.take_along_axis(idx, pos, axis=1)
             rvalid = jnp.take_along_axis(valid, pos, axis=1)
             exact = jnp.einsum(
-                "qd,qrd->qr", qc.astype(jnp.bfloat16),
-                corpus[ridx].astype(jnp.bfloat16),
+                "qd,qrd->qr", qc.astype(jnp.float32),
+                corpus[ridx].astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
             exact = jnp.where(rvalid, exact, -jnp.inf)

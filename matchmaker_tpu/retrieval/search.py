@@ -80,7 +80,11 @@ def search_queries(
             perf.stop_block("search_total", 0)
             rescore_n = int(config.get("colbert_rescore_n", 0))
             rescore_store = None
-            enc_folder = config.get("encode_folder")
+            # the CLI stamps encode_folder onto the indexer (dense_retrieval.py:102)
+            # but not into config — honor both so programmatic callers rescore too
+            enc_folder = config.get("encode_folder") or getattr(
+                indexer, "encode_folder", None
+            )
             if rescore_n > 0 and enc_folder and os.path.isdir(enc_folder):
                 rescore_store = TokenVectorStore(enc_folder)
             return colbert_search_queries(

@@ -616,10 +616,12 @@ def test_two_axis_dcn_ici_mesh_search_and_train(rng, eight_devices):
 
 def test_hnsw_build_rate_pinned(rng):
     """Single-core HNSW construction rate regression pin (VERDICT r2
-    next-10): round 2 measured ~2.2k adds/s at efC=80/M=16 on this 1-core
-    container; the floor sits at ~1/3 of that so container jitter can't
-    flake while a real construction regression (e.g. an accidental
-    efC/M blowup or a lost OpenMP pragma) still trips it."""
+    next-10, tightened r4): measured at efC=80/M=16 on this 1-core
+    container: 2.2k adds/s (round 2), 3.7k (round 3), 8.5k (round 4) —
+    container speed varies ~4x between sessions. The floor sits at half
+    the SLOWEST session's rate so jitter can't flake while a real
+    construction regression (an accidental efC/M blowup, a lost OpenMP
+    pragma, an O(N) neighbor-list walk) still trips it."""
     import time
 
     from matchmaker_tpu.retrieval.hnsw import HNSWIndex, hnsw_available
@@ -637,7 +639,7 @@ def test_hnsw_build_rate_pinned(rng):
     index.index(np.arange(n), vectors)
     dt = time.perf_counter() - t0
     rate = n / dt
-    assert rate >= 700, f"HNSW build rate collapsed: {rate:.0f} adds/s"
+    assert rate >= 1100, f"HNSW build rate collapsed: {rate:.0f} adds/s"
 
 
 def test_scann_tree_ah_literal_shape(rng, tmp_path):
