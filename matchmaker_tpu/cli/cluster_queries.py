@@ -40,12 +40,17 @@ def main() -> int:
     parser.add_argument("--clusters", type=int, default=2000)
     parser.add_argument("--batch-size", type=int, default=128)
     args = parser.parse_args()
+    return run(args.model, args.queries, args.out, args.clusters, args.batch_size)
 
+
+def run(model_path: str, queries: str, out: str, clusters: int = 2000,
+        batch_size: int = 128) -> int:
+    """In-process clustering (callable from the TAS-B recipe driver)."""
     import jax
 
-    model, params, config, tokenizer = load_teacher(args.model)
+    model, params, config, tokenizer = load_teacher(model_path)
     cfg = dict(config)
-    cfg["batch_size_inference"] = args.batch_size
+    cfg["batch_size_inference"] = batch_size
 
     @jax.jit
     def encode(params, ids, mask):
@@ -55,7 +60,7 @@ def main() -> int:
     perf.start_block("query_encode")
     all_ids, all_vecs = [], []
     for batch, qids in device_prefetch(
-        single_sequence_loader(cfg, tokenizer, args.queries, "query")
+        single_sequence_loader(cfg, tokenizer, queries, "query")
     ):
         vecs = np.asarray(encode(params, batch["seq_ids"], batch["seq_mask"]))
         keep = int(batch["valid"].sum())
@@ -65,18 +70,18 @@ def main() -> int:
     perf.stop_block("query_encode", len(all_ids))
 
     perf.start_block("clustering")
-    index = DynamicClusterIndex({"faiss_ivf_list_count": args.clusters})
+    index = DynamicClusterIndex({"faiss_ivf_list_count": clusters})
     index.index_all(np.array(all_ids), vectors)
     perf.stop_block("clustering", len(all_ids))
 
     clusters = defaultdict(list)
     for qid, c in zip(all_ids, index._assignments):
         clusters[int(c)].append(qid)
-    with open(args.out, "w", encoding="utf-8") as f:
+    with open(out, "w", encoding="utf-8") as f:
         for c in sorted(clusters):
             f.write(" ".join(clusters[c]) + "\n")
     perf.print_summary()
-    print(f"wrote {len(clusters)} clusters for {len(all_ids)} queries -> {args.out}")
+    print(f"wrote {len(clusters)} clusters for {len(all_ids)} queries -> {out}")
     return 0
 
 

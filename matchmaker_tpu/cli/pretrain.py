@@ -38,7 +38,12 @@ def main() -> int:
     config = get_config(args.config_file, args.config_overwrites)
     run_folder = prepare_experiment(config["expirement_base_path"], args.run_name, config)
     print(f"[matchmaker-tpu] MLM pretrain run folder: {run_folder}")
+    return run(config, run_folder)
 
+
+def run(config, run_folder: str) -> int:
+    """In-process MLM pre-train (callable from other drivers, e.g. the TAS-B
+    recipe, cli/tasb_recipe.py)."""
     try:
         import jax
         import jax.numpy as jnp
@@ -102,9 +107,14 @@ def main() -> int:
         perf = PerformanceMonitor.get()
         perf.start_block("pretrain")
         global_step = 0
+        max_steps = config.get("pretrain_max_steps", 0)
         for epoch in range(config.get("epochs", 1)):
+            if max_steps and global_step >= max_steps:
+                break
             loader = mlm_training_loader(config, tokenizer, config["collection_tsv"])
             for batch in device_prefetch(loader, sharding=sharding):
+                if max_steps and global_step >= max_steps:
+                    break
                 params, opt_state, stats = step(params, opt_state, batch)
                 global_step += 1
                 if global_step % 100 == 0:

@@ -98,3 +98,103 @@ def make_planted_corpus(
                 f.write(f"d{doc_id}\t{text}\n")
                 doc_id += 1
     return paths
+
+
+def make_planted_tas_corpus(
+    out_dir: str,
+    n_train_queries: int = 1000,
+    n_eval_queries: int = 100,
+    n_docs: int = 100_000,
+    triples_per_query: int = 3,
+    negs_per_query: int = 8,
+    seed: int = 7,
+) -> Dict[str, str]:
+    """Planted corpus with the EXTRA artifacts the full TAS-Balanced recipe
+    needs (reference distillation pipeline, SURVEY §3.4): id'd train queries,
+    each train query's relevant doc planted IN the collection, and an id-based
+    candidate-pair file (``qid pos_pid neg_pid`` per line) for a teacher to
+    score into ``pairs_with_teacher_scores.tsv``.
+
+    Same planted-relevance structure as make_planted_corpus: relevance is
+    lexical topic-word overlap, MRR ceiling 1.0 for eval queries."""
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    topic_words = [f"topic{i}" for i in range(N_TOPIC)]
+    noise_words = [f"noise{i}" for i in range(N_NOISE)]
+
+    def make_query(qi: int) -> str:
+        rng_q = random.Random(seed * 131071 + qi)
+        return " ".join(rng_q.sample(topic_words, 3))
+
+    def rel_doc(query: str) -> str:
+        words = query.split() * 3 + rng.sample(topic_words, 4)
+        rng.shuffle(words)
+        return " ".join(words)
+
+    def irrel_doc() -> str:
+        return " ".join(rng.sample(noise_words, 12))
+
+    paths = {
+        "train_tsv": os.path.join(out_dir, "train.tsv"),
+        "train_queries": os.path.join(out_dir, "queries_train.tsv"),
+        "candidates": os.path.join(out_dir, "candidates.tsv"),
+        "qrels": os.path.join(out_dir, "qrels.txt"),
+        "collection": os.path.join(out_dir, "collection.tsv"),
+        "queries": os.path.join(out_dir, "queries.tsv"),
+    }
+
+    train_q = {f"t{qi}": make_query(qi) for qi in range(n_train_queries)}
+    eval_q = {f"q{qi}": make_query(10_000_000 + qi) for qi in range(n_eval_queries)}
+
+    # collection: one planted rel doc per (train + eval) query at pinned
+    # pseudo-random positions, distractors elsewhere
+    rel_lines = [(qid, rel_doc(text)) for qid, text in list(train_q.items()) + list(eval_q.items())]
+    assert len(rel_lines) < n_docs, "need room for distractors"
+    rel_positions = sorted(rng.sample(range(n_docs), len(rel_lines)))
+    pid_of_query: Dict[str, str] = {}
+    with open(paths["collection"], "w") as f:
+        rel_iter = iter(zip(rel_positions, rel_lines))
+        next_rel = next(rel_iter, None)
+        for pos in range(n_docs):
+            if next_rel is not None and pos == next_rel[0]:
+                qid, text = next_rel[1]
+                pid_of_query[qid] = f"d{pos}"
+                next_rel = next(rel_iter, None)
+            else:
+                text = irrel_doc()
+            f.write(f"d{pos}\t{text}\n")
+
+    with open(paths["queries"], "w") as f:
+        for qid, text in eval_q.items():
+            f.write(f"{qid}\t{text}\n")
+    with open(paths["qrels"], "w") as f:
+        for qid in eval_q:
+            f.write(f"{qid} 0 {pid_of_query[qid]} 1\n")
+    with open(paths["train_queries"], "w") as f:
+        for qid, text in train_q.items():
+            f.write(f"{qid}\t{text}\n")
+
+    # text triples for teacher training (pos = the planted doc's text)
+    collection_text = {}
+    with open(paths["collection"]) as f:
+        for line in f:
+            pid, text = line.rstrip("\n").split("\t")
+            collection_text[pid] = text
+    all_pids = list(collection_text.keys())
+    with open(paths["train_tsv"], "w") as f:
+        for qid, qtext in train_q.items():
+            pos_text = collection_text[pid_of_query[qid]]
+            for _ in range(triples_per_query):
+                f.write(f"{qtext}\t{pos_text}\t{irrel_doc()}\n")
+
+    # id-based candidate pairs for the TAS pairs file (teacher scores them)
+    with open(paths["candidates"], "w") as f:
+        for qid in train_q:
+            pos_pid = pid_of_query[qid]
+            for _ in range(negs_per_query):
+                neg_pid = all_pids[rng.randint(0, n_docs - 1)]
+                while neg_pid == pos_pid:
+                    neg_pid = all_pids[rng.randint(0, n_docs - 1)]
+                f.write(f"{qid}\t{pos_pid}\t{neg_pid}\n")
+    return paths

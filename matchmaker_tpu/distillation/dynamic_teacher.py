@@ -7,11 +7,16 @@ ColBERT's all-pairs MaxSim for in-batch list losses), and attaches
 ``dyn_teacher_scores_*`` before the batch reaches the student.
 
 TPU design: the reference isolates the teacher in a spawned subprocess pinned
-to the last GPU (dynamic_teacher.py:132-157). Here the teacher is simply a
-second jitted XLA program — batches are scored on-device between the host
-loader and the student step, and XLA overlaps the two programs' execution; a
-device-subset placement can be layered on via ``jax.device_put`` when chips
-are plentiful.
+to the last GPU (dynamic_teacher.py:132-157). Here the teacher is a second
+jitted XLA program and the pipelining comes from JAX async dispatch: ``wrap``
+places each host batch on the mesh, ENQUEUES the teacher program, and yields
+immediately with the score futures attached — it never synchronizes on the
+result. The student step consumes the futures directly, so the device queue
+interleaves teacher(k+1) behind student(k) while the host thread
+(data/loaders.device_prefetch) tokenizes ahead; on one chip the two programs
+share the core (that's physics), but no host↔device round-trip ever stalls
+the loop, and under a mesh the teacher shards over the same ``data`` axis as
+the student. Overhead measured in benchmarks/dynamic_teacher_benchmark.py.
 """
 
 from __future__ import annotations
@@ -68,13 +73,22 @@ class DynamicTeacher:
 
         model = self.model
 
+        packed_triples = hasattr(type(model), "forward_triple")
+
         @jax.jit
         def score_pair(params, batch):
             from matchmaker_tpu.training.train_step import split_triple_batch
 
-            pos_batch, neg_batch = split_triple_batch(batch)
-            pos_out = model.apply({"params": params}, pos_batch)
-            neg_out = model.apply({"params": params}, neg_batch)
+            if packed_triples and "doc_pos_ids" in batch:
+                # same packed fast path as the student step (one query pass,
+                # one 2B-row doc encode — models/bert_dot.forward_triple)
+                pos_out, neg_out = model.apply(
+                    {"params": params}, batch, method="forward_triple"
+                )
+            else:
+                pos_batch, neg_batch = split_triple_batch(batch)
+                pos_out = model.apply({"params": params}, pos_batch)
+                neg_out = model.apply({"params": params}, neg_batch)
             out = {"pos": pos_out["score"], "neg": neg_out["score"]}
             if self.per_term_scores and "per_term_scores" in pos_out:
                 out["pos_per_term"] = pos_out["per_term_scores"]
@@ -100,16 +114,28 @@ class DynamicTeacher:
 
         self._score = score_pair
 
-    def wrap(self, batch_iterator: Iterator[dict]) -> Iterator[dict]:
-        """Yield batches with teacher scores attached."""
+    def wrap(self, batch_iterator: Iterator[dict], sharding=None) -> Iterator[dict]:
+        """Yield batches with teacher scores attached — WITHOUT synchronizing.
+
+        Each batch is placed on the mesh (``sharding`` = the trainer's
+        batch-dim sharding; None = default device placement), the teacher
+        program is enqueued, and the batch is yielded with the resulting
+        device arrays attached as futures. No ``np.asarray`` / blocking
+        transfer happens here — the scores are first *used* inside the
+        student's jitted step, so teacher and student stay back-to-back in
+        the device queue while the host runs ahead (reference subprocess
+        producer/consumer, dynamic_teacher.py:132-157, the XLA way)."""
         for batch in batch_iterator:
+            batch = {
+                k: (jax.device_put(v, sharding) if sharding is not None and isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()
+            }
             scored = self._score(self.params, batch)
-            batch = dict(batch)
-            batch["pos_score"] = np.asarray(scored["pos"])
-            batch["neg_score"] = np.asarray(scored["neg"])
+            batch["pos_score"] = scored["pos"]
+            batch["neg_score"] = scored["neg"]
             if "matrix" in scored:
-                batch["dyn_teacher_matrix"] = np.asarray(scored["matrix"])
+                batch["dyn_teacher_matrix"] = scored["matrix"]
             if "pos_per_term" in scored:
-                batch["dyn_teacher_pos_per_term"] = np.asarray(scored["pos_per_term"])
-                batch["dyn_teacher_neg_per_term"] = np.asarray(scored["neg_per_term"])
+                batch["dyn_teacher_pos_per_term"] = scored["pos_per_term"]
+                batch["dyn_teacher_neg_per_term"] = scored["neg_per_term"]
             yield batch

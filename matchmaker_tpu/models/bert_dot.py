@@ -54,6 +54,37 @@ class BertDot(Ranker):
             out["secondary"] = {}
         return out
 
+    def forward_triple(self, batch: Batch):
+        """Packed triple forward for the training hot loop.
+
+        The generic path (train_step.loss_fn) runs ``model.apply`` twice — the
+        query tower executes twice on identical inputs and the pos/neg docs run
+        as two separate B-row encodes. Here the query tower runs ONCE and the
+        documents are packed into a single 2B-row encode: ~13% fewer FLOPs and
+        one larger MXU-friendly batch instead of two half-size ones. Same math,
+        same param tree — returns (pos_out, neg_out) with ``__call__``'s keys.
+        (Covers the reference's two-forward hot loop, train.py:347-543, the
+        TPU way.)
+        """
+        q_vecs = self.encode(batch["query_ids"], batch["query_mask"], "query")
+        d_ids = jnp.concatenate([batch["doc_pos_ids"], batch["doc_neg_ids"]], axis=0)
+        d_mask = jnp.concatenate([batch["doc_pos_mask"], batch["doc_neg_mask"]], axis=0)
+        d_vecs = self.encode(d_ids, d_mask, "doc")
+        b = q_vecs.shape[0]
+        pos_vecs, neg_vecs = d_vecs[:b], d_vecs[b:]
+        pos_out: Output = {
+            "score": jnp.einsum("bd,bd->b", q_vecs, pos_vecs, preferred_element_type=jnp.float32)
+        }
+        neg_out: Output = {
+            "score": jnp.einsum("bd,bd->b", q_vecs, neg_vecs, preferred_element_type=jnp.float32)
+        }
+        if self.return_vecs:
+            pos_out["query_vecs"] = q_vecs
+            pos_out["doc_vecs"] = pos_vecs
+            neg_out["query_vecs"] = q_vecs
+            neg_out["doc_vecs"] = neg_vecs
+        return pos_out, neg_out
+
 
 class BertDotDualEncoder(Ranker):
     """DPR-style: separate query and document encoder towers."""
@@ -96,3 +127,26 @@ class BertDotDualEncoder(Ranker):
         if output_secondary:
             out["secondary"] = {}
         return out
+
+    def forward_triple(self, batch: Batch):
+        """Packed triple forward (see BertDot.forward_triple): one query-tower
+        pass, one 2B-row doc-tower pass — the dual-tower variant dedups the
+        query encode and packs pos+neg docs through the doc tower."""
+        q_vecs = self.encode(batch["query_ids"], batch["query_mask"], "query")
+        d_ids = jnp.concatenate([batch["doc_pos_ids"], batch["doc_neg_ids"]], axis=0)
+        d_mask = jnp.concatenate([batch["doc_pos_mask"], batch["doc_neg_mask"]], axis=0)
+        d_vecs = self.encode(d_ids, d_mask, "doc")
+        b = q_vecs.shape[0]
+        pos_vecs, neg_vecs = d_vecs[:b], d_vecs[b:]
+        pos_out: Output = {
+            "score": jnp.einsum("bd,bd->b", q_vecs, pos_vecs, preferred_element_type=jnp.float32)
+        }
+        neg_out: Output = {
+            "score": jnp.einsum("bd,bd->b", q_vecs, neg_vecs, preferred_element_type=jnp.float32)
+        }
+        if self.return_vecs:
+            pos_out["query_vecs"] = q_vecs
+            pos_out["doc_vecs"] = pos_vecs
+            neg_out["query_vecs"] = q_vecs
+            neg_out["doc_vecs"] = neg_vecs
+        return pos_out, neg_out

@@ -77,3 +77,30 @@ class ColBert(Ranker):
         if output_secondary:
             out["secondary"] = {}
         return out
+
+    def forward_triple(self, batch: Batch):
+        """Packed triple forward (see BertDot.forward_triple): query tokens
+        encoded once, pos+neg docs packed into one 2B-row encoder pass; the
+        MaxSim interaction runs per half (its FLOPs are pairwise either way)."""
+        q_vecs = self.encode(batch["query_ids"], batch["query_mask"])
+        d_ids = jnp.concatenate([batch["doc_pos_ids"], batch["doc_neg_ids"]], axis=0)
+        d_mask = jnp.concatenate([batch["doc_pos_mask"], batch["doc_neg_mask"]], axis=0)
+        d_vecs = self.encode(d_ids, d_mask)
+        b = q_vecs.shape[0]
+        halves = {}
+        for name, sl in (("pos", slice(0, b)), ("neg", slice(b, 2 * b))):
+            dv, dm = d_vecs[sl], d_mask[sl]
+            out: Output = {"score": maxsim_pairwise(q_vecs, dv, batch["query_mask"], dm)}
+            if self.return_per_term:
+                per_term = jnp.einsum(
+                    "bqd,bkd->bqk", q_vecs, dv, preferred_element_type=jnp.float32
+                )
+                per_term = jnp.where(dm[:, None, :] > 0, per_term, -1000.0)
+                out["per_term_scores"] = per_term.max(axis=-1) * batch["query_mask"]
+            if self.return_vecs:
+                out["query_vecs"] = q_vecs
+                out["doc_vecs"] = dv
+                out["query_vecs_mask"] = batch["query_mask"]
+                out["doc_vecs_mask"] = dm
+            halves[name] = out
+        return halves["pos"], halves["neg"]

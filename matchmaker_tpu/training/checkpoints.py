@@ -66,3 +66,29 @@ class TrainStateCheckpointer:
                 except ValueError:
                     pass
         return max(steps) if steps else None
+
+
+def load_encoder_subtree(path: str, params) -> Any:
+    """Graft a checkpoint's ``encoder`` subtree into a ranker's param tree.
+
+    The MLM pre-train driver (cli/pretrain.py) saves ``MLMPretrainModel``
+    params — {encoder, mlm head, ...} — whose tree does NOT match a ranker's,
+    so ``load_params`` (strict template match) can't warmstart from it. This
+    is the reference's "load the LM, keep the head random" warmstart
+    (models/bert_*.py from_pretrained semantics): every encoder slot of the
+    ranker (``encoder`` / ``query_encoder`` / ``doc_encoder``) is replaced by
+    the checkpoint's encoder weights; heads keep their fresh init."""
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    enc = raw.get("encoder", raw)
+    out = dict(params)
+    replaced = 0
+    for key in params:
+        if key in ("encoder", "query_encoder", "doc_encoder"):
+            out[key] = flax.serialization.from_state_dict(params[key], enc)
+            replaced += 1
+    if not replaced:
+        raise ValueError(f"no encoder subtree in target params to graft {path} into")
+    return out

@@ -85,6 +85,13 @@ def make_loss_fn(model, losses: LossBundle, config):
         }
         return loss, stats
 
+    # Packed-triple fast path: bi-encoders expose ``forward_triple`` (one
+    # query-tower pass + one 2B-row doc encode) — ~13% fewer FLOPs than the
+    # generic two-apply path and larger MXU-friendlier encode batches. The
+    # generic path stays for cross-encoders (concatenated inputs), QA heads,
+    # and interaction models whose query embed is cheap.
+    packed_triples = hasattr(type(model), "forward_triple")
+
     def loss_fn(params, batch):
         if "list_doc_ids" in batch:
             return list_loss_fn(params, batch)
@@ -92,8 +99,11 @@ def make_loss_fn(model, losses: LossBundle, config):
         valid = batch.get("valid")
         if valid is None:
             valid = jnp.ones(pos_batch[next(iter(pos_batch))].shape[0], dtype=jnp.float32)
-        pos_out = model.apply({"params": params}, pos_batch)
-        neg_out = model.apply({"params": params}, neg_batch)
+        if packed_triples and "doc_pos_ids" in batch:
+            pos_out, neg_out = model.apply({"params": params}, batch, method="forward_triple")
+        else:
+            pos_out = model.apply({"params": params}, pos_batch)
+            neg_out = model.apply({"params": params}, neg_batch)
         pos_score, neg_score = pos_out["score"], neg_out["score"]
         t_pos = batch.get("pos_score", jnp.zeros_like(pos_score))
         t_neg = batch.get("neg_score", jnp.zeros_like(neg_score))

@@ -60,6 +60,15 @@ class Trainer:
         warmstart = config.get("warmstart_model_path")
         if warmstart:
             self.params = load_params(warmstart, self.params)
+        warmstart_enc = config.get("warmstart_encoder_path")
+        if warmstart_enc:
+            # encoder-only graft, e.g. from an MLM pre-train run
+            # (checkpoints.load_encoder_subtree) — heads stay fresh
+            from matchmaker_tpu.training.checkpoints import load_encoder_subtree
+
+            self.params = shard_params(
+                load_encoder_subtree(warmstart_enc, self.params), self.mesh
+            )
 
         self.tx = build_optimizer(config, self.params)
         self.opt_state = self.tx.init(self.params)
@@ -228,7 +237,7 @@ class Trainer:
             else:
                 loader = triple_training_loader(config, self.tokenizer, config["train_tsv"])
             if teacher is not None:
-                loader = teacher.wrap(loader)
+                loader = teacher.wrap(loader, sharding=self.batch_sharding)
             recent_failures = []
             for batch in device_prefetch(loader, sharding=self.batch_sharding):
                 try:

@@ -236,3 +236,52 @@ def test_load_teacher_from_hub_config_stub(eight_devices):
 
     with pytest.raises(FileNotFoundError):
         load_teacher("unknown-org/unknown-model")
+
+
+def test_dynamic_teacher_wrap_is_nonblocking(tmp_path, eight_devices):
+    """Pipelining contract: wrap must attach DEVICE arrays (futures under JAX
+    async dispatch), never host numpy — a blocking np.asarray here would
+    serialize teacher scoring with the student step (the round-3 weakness)."""
+    import yaml
+    import jax
+
+    from matchmaker_tpu.config import auto_fill
+    from matchmaker_tpu.data.tokenization import build_tokenizer
+    from matchmaker_tpu.distillation.dynamic_teacher import DynamicTeacher
+    from matchmaker_tpu.models import get_model, init_params
+    from matchmaker_tpu.training.checkpoints import save_params
+
+    teacher_dir = tmp_path / "teacher"
+    os.makedirs(teacher_dir)
+    t_config = auto_fill({
+        "model": "bert_dot", "bert_pretrained_model": "tiny-test", "use_fp16": False,
+        "max_query_length": 8, "max_doc_length": 16,
+        "model_input_type": "auto", "token_embedder_type": "auto",
+    })
+    yaml.safe_dump(dict(t_config), open(teacher_dir / "config.yaml", "w"))
+    tok = build_tokenizer(t_config)
+    model = get_model(t_config, tok)
+    save_params(str(teacher_dir / "best-model.flax"),
+                init_params(model, t_config, jax.random.PRNGKey(0)))
+
+    teacher = DynamicTeacher({"dynamic_teacher_path": str(teacher_dir)})
+    rng = np.random.default_rng(0)
+    batch = {
+        "query_ids": rng.integers(2, 900, (8, 8)).astype(np.int32),
+        "query_mask": np.ones((8, 8), np.float32),
+        "doc_pos_ids": rng.integers(2, 900, (8, 16)).astype(np.int32),
+        "doc_pos_mask": np.ones((8, 16), np.float32),
+        "doc_neg_ids": rng.integers(2, 900, (8, 16)).astype(np.int32),
+        "doc_neg_mask": np.ones((8, 16), np.float32),
+        "valid": np.ones(8, np.float32),
+    }
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    wrapped = next(iter(teacher.wrap(iter([batch]), sharding=sharding)))
+    assert isinstance(wrapped["pos_score"], jax.Array), "scores must stay on device"
+    assert isinstance(wrapped["query_ids"], jax.Array), "batch must be mesh-placed"
+    # text arrays carry the mesh sharding (teacher ran sharded, not on dev 0)
+    assert wrapped["query_ids"].sharding.is_equivalent_to(sharding, 2)
+    assert np.isfinite(np.asarray(wrapped["pos_score"])).all()

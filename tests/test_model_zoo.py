@@ -118,3 +118,45 @@ def test_idcm_bert_part_cached(rng):
     cached_batch["bert_part_cached"] = jnp.asarray(full_scores)
     out2 = model.apply({"params": params}, cached_batch)
     np.testing.assert_allclose(np.asarray(out2["score"]), np.asarray(out["score"]), rtol=1e-5)
+
+
+def test_forward_triple_matches_two_apply_path(rng):
+    """The packed triple fast path (one query pass + one 2B-row doc encode,
+    train_step.py dispatch) must be numerically identical to the generic
+    two-apply path for every model that implements it."""
+    from matchmaker_tpu.models.bert_dot import BertDot, BertDotDualEncoder
+    from matchmaker_tpu.models.colbert import ColBert
+    from matchmaker_tpu.models.encoder import EncoderConfig
+    from matchmaker_tpu.training.train_step import split_triple_batch
+
+    b, mq, md = 4, 6, 10
+    batch = {
+        "query_ids": rng.integers(1, 999, (b, mq)).astype(np.int32),
+        "query_mask": (rng.random((b, mq)) > 0.2).astype(np.float32),
+        "doc_pos_ids": rng.integers(1, 999, (b, md)).astype(np.int32),
+        "doc_pos_mask": (rng.random((b, md)) > 0.2).astype(np.float32),
+        "doc_neg_ids": rng.integers(1, 999, (b, md)).astype(np.int32),
+        "doc_neg_mask": (rng.random((b, md)) > 0.2).astype(np.float32),
+    }
+    cases = [
+        (BertDot, {}),
+        (BertDotDualEncoder, {}),
+        (ColBert, dict(compression_dim=32, return_per_term=True)),
+    ]
+    for cls, kw in cases:
+        m = cls(encoder_cfg=EncoderConfig.tiny(), return_vecs=True,
+                compute_dtype=jnp.float32, **kw)
+        pos_b, neg_b = split_triple_batch(batch)
+        params = m.init(jax.random.PRNGKey(0), pos_b)["params"]
+        pos_ref = m.apply({"params": params}, pos_b)
+        neg_ref = m.apply({"params": params}, neg_b)
+        pos_new, neg_new = m.apply({"params": params}, batch, method="forward_triple")
+        assert set(pos_new) == set(pos_ref) and set(neg_new) == set(neg_ref)
+        for k in pos_ref:
+            np.testing.assert_allclose(
+                pos_ref[k], pos_new[k], rtol=1e-5, atol=1e-5,
+                err_msg=f"{cls.__name__} pos {k}")
+        for k in neg_ref:
+            np.testing.assert_allclose(
+                neg_ref[k], neg_new[k], rtol=1e-5, atol=1e-5,
+                err_msg=f"{cls.__name__} neg {k}")
