@@ -185,6 +185,10 @@ def run(mode: str, config, run_folder: str) -> int:
 
 
 def main() -> int:
+    # multi-process launch? must run before the first backend touch
+    from matchmaker_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     parser = get_parser()
     parser.add_argument("mode", choices=["encode+index+search", "index+search", "search"])
     args = parser.parse_args()

@@ -34,6 +34,10 @@ from matchmaker_tpu.obs.perf_monitor import PerformanceMonitor
 
 
 def main() -> int:
+    # multi-process launch? must run before the first backend touch
+    from matchmaker_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     args = get_parser().parse_args()
     config = get_config(args.config_file, args.config_overwrites)
     run_folder = prepare_experiment(config["expirement_base_path"], args.run_name, config)

@@ -24,6 +24,10 @@ from matchmaker_tpu.training.trainer import Trainer
 
 
 def main() -> int:
+    # multi-process launch? must run before the first backend touch
+    from matchmaker_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     args = get_parser().parse_args()
     perf = PerformanceMonitor.get()
     perf.start_block("startup")

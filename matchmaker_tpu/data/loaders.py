@@ -271,7 +271,12 @@ def device_prefetch(iterator, n_prefetch: int = 2, sharding=None):
     def put(item):
         def place(x):
             if isinstance(x, np.ndarray):
-                return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+                if sharding is not None:
+                    # multi-process aware: local rows → global sharded array
+                    from matchmaker_tpu.parallel.multihost import place_local_rows
+
+                    return place_local_rows(x, sharding)
+                return jax.device_put(x)
             return x
         q.put(jax.tree_util.tree_map(place, item))
 

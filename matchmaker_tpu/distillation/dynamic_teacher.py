@@ -125,9 +125,11 @@ class DynamicTeacher:
         student's jitted step, so teacher and student stay back-to-back in
         the device queue while the host runs ahead (reference subprocess
         producer/consumer, dynamic_teacher.py:132-157, the XLA way)."""
+        from matchmaker_tpu.parallel.multihost import place_local_rows
+
         for batch in batch_iterator:
             batch = {
-                k: (jax.device_put(v, sharding) if sharding is not None and isinstance(v, np.ndarray) else v)
+                k: (place_local_rows(v, sharding) if sharding is not None and isinstance(v, np.ndarray) else v)
                 for k, v in batch.items()
             }
             scored = self._score(self.params, batch)

@@ -246,7 +246,15 @@ def make_train_step(model, losses: LossBundle, tx: optax.GradientTransformation,
     """Returns jitted ``step(params, opt_state, batch) -> (params, opt_state, stats)``."""
     loss_fn = make_loss_fn(model, losses, config)
 
-    @jax.jit
+    # ``donate_train_state: true`` donates params + opt state so the update
+    # aliases in place — ~12 bytes/param (f32 params + Adam m/v) LESS peak
+    # HBM, useful headroom at big batches. Measured speed-neutral on v5e
+    # (943 vs 944 triples/s @ batch 128 — XLA already overlaps the update
+    # tail), and a donated input is invalid after a FAILED step, which kills
+    # OOM-batch skipping (reference train.py:578-593) — so default OFF.
+    donate = (0, 1) if config.get("donate_train_state", False) else ()
+
+    @partial(jax.jit, donate_argnums=donate)
     def step(params, opt_state, batch):
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
         updates, new_opt_state = tx.update(grads, opt_state, params)

@@ -44,6 +44,18 @@ class Trainer:
         self.tokenizer = build_tokenizer(config)
         self.model = get_model(config, self.tokenizer)
 
+        from matchmaker_tpu.parallel import multihost
+
+        self.n_processes = multihost.process_count()
+        self.is_primary = multihost.is_primary()
+        if self.n_processes > 1 and config.get("validation_cont"):
+            raise ValueError(
+                "validation_cont under a multi-process launch is not supported "
+                "yet (eval outputs are host-gathered); run validation "
+                "single-process on the saved checkpoints instead "
+                "(docs/multihost_runbook.md)"
+            )
+
         self.mesh = make_mesh()
         self.batch_sharding = batch_sharding(self.mesh)
 
@@ -99,6 +111,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _log_loss(self, epoch: int, stats: Dict) -> None:
+        if not self.is_primary:
+            return  # one writer per run folder (multi-process launches)
         exists = os.path.exists(self._loss_csv)
         host_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
         self.scalars.write(host_stats, self.global_step)
@@ -179,6 +193,18 @@ class Trainer:
         epochs = config.get("epochs", 1)
         stopped = False
 
+        # multi-process data contract: every process tokenizes only ITS rows
+        # of the global batch; place_local_rows assembles the global sharded
+        # array (parallel/multihost.py). Samplers decorrelate by seed; the
+        # file loader strides whole batches round-robin across processes.
+        from matchmaker_tpu.parallel import multihost
+
+        n_proc = self.n_processes
+        pid = multihost.process_index()
+        global_bs = config.get("batch_size_train", 32)
+        local_bs = multihost.per_process_batch(global_bs) if n_proc > 1 else global_bs
+        seed = config.get("random_seed", 42) + 7919 * pid
+
         teacher = None
         if config.get("dynamic_teacher", False):
             from matchmaker_tpu.distillation.dynamic_teacher import DynamicTeacher
@@ -207,8 +233,8 @@ class Trainer:
                 qrels_file=config["dynamic_sampler_qrels"],
                 candidate_file=config["dynamic_sampler_candidates"],
                 list_size=config.get("list_size", 8),
-                queries_per_batch=qpb_sharded,
-                seed=config.get("random_seed", 42),
+                queries_per_batch=qpb_sharded // n_proc,
+                seed=seed,
             )
         elif config.get("dynamic_sampler", False):
             from matchmaker_tpu.data.tas_balanced import TASBalancedSampler
@@ -218,12 +244,12 @@ class Trainer:
                 query_file=config["dynamic_sampler_queries"],
                 pairs_with_teacher_scores=config["dynamic_sampler_pairs_with_teacher_scores"],
                 query_cluster_file=config["dynamic_sampler_query_cluster_file"],
-                batch_size=config.get("batch_size_train", 32),
+                batch_size=local_bs,
                 clusters_per_batch=config.get("tas_balanced_clusters_per_batch", 1),
                 pair_balancing_strategy="bins"
                 if config.get("tas_balanced_pair_strategy", "random") != "random"
                 else "random",
-                seed=config.get("random_seed", 42),
+                seed=seed,
             )
 
         self.perf.start_block("train")
@@ -235,7 +261,13 @@ class Trainer:
                     config, self.tokenizer, max_batches=config.get("tas_batches_per_epoch", 1000)
                 )
             else:
-                loader = triple_training_loader(config, self.tokenizer, config["train_tsv"])
+                loader = triple_training_loader(
+                    config, self.tokenizer, config["train_tsv"], batch_size=local_bs
+                )
+                if n_proc > 1:
+                    import itertools
+
+                    loader = itertools.islice(loader, pid, None, n_proc)
             if teacher is not None:
                 loader = teacher.wrap(loader, sharding=self.batch_sharding)
             recent_failures = []
@@ -255,6 +287,17 @@ class Trainer:
                     )
                     if not transient:
                         raise
+                    if config.get("donate_train_state", False):
+                        # donated params/opt buffers are invalid after a failed
+                        # step — continuing would train on garbage. Surface the
+                        # trade instead of skipping (train_step.py donation note).
+                        raise RuntimeError(
+                            "train step hit device OOM with donate_train_state "
+                            "enabled; the donated train state cannot be reused. "
+                            "Set donate_train_state: false to make OOM batches "
+                            "skippable (costs ~12 bytes/param of HBM traffic per "
+                            "step), or lower batch_size_train."
+                        ) from e
                     recent_failures = [s for s in recent_failures if self.global_step - s < 4]
                     recent_failures.append(self.global_step)
                     print(f"[trainer] step {self.global_step} failed ({type(e).__name__}); skipping batch")
@@ -272,6 +315,23 @@ class Trainer:
                 # end-of-epoch validation keeps short epochs honest
                 stopped = self._validate(epoch) or stopped
         self.perf.stop_block("train", self.global_step)
+
+        if self.n_processes > 1:
+            # keep processes in step before filesystem writes; only the
+            # primary owns the run folder (params are replicated, so every
+            # process already holds the final weights)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("matchmaker_train_end")
+            if self.is_primary:
+                save_params(
+                    os.path.join(self.run_folder, "best-model.flax"), self.params
+                )
+            self.perf.save_summary(
+                os.path.join(self.run_folder, f"efficiency-metrics-p{jax.process_index()}.json")
+            )
+            self.perf.print_summary()
+            return
 
         # reload best checkpoint for final evals (reference train.py:694-717)
         best_path = os.path.join(self.run_folder, "best-model.flax")

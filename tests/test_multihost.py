@@ -1,0 +1,95 @@
+"""Multi-host bootstrap (SURVEY §5.8 / VERDICT r3 missing-2).
+
+Unit tests pin the per-process data arithmetic; the dryrun spawns TWO real
+processes (4 virtual CPU devices each) that jax.distributed-initialize into
+one 8-device runtime and run the Trainer end to end — the closest a single
+machine gets to a 2-host DCN launch.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_process_shard_bounds_cover_exactly():
+    from matchmaker_tpu.parallel.multihost import process_shard_bounds
+
+    for n_items in (1, 7, 100, 8_841_823):
+        for n_proc in (1, 2, 3, 8):
+            seen = []
+            for pid in range(n_proc):
+                lo, hi = process_shard_bounds(n_items, n_proc, pid)
+                assert 0 <= lo <= hi <= n_items
+                seen.extend(range(lo, hi))
+            # every row owned exactly once, in order
+            assert seen == list(range(n_items)), (n_items, n_proc)
+
+
+def test_per_process_batch_divisibility():
+    from matchmaker_tpu.parallel import multihost
+
+    # single-process: identity
+    assert multihost.per_process_batch(32) == 32
+    # simulated multi-process split via the explicit-args shard helper
+    lo0, hi0 = multihost.process_shard_bounds(32, 4, 0)
+    assert hi0 - lo0 == 8
+
+
+def test_maybe_initialize_noop_without_env(monkeypatch):
+    from matchmaker_tpu.parallel.multihost import maybe_initialize_distributed
+
+    monkeypatch.delenv("MATCHMAKER_COORDINATOR", raising=False)
+    monkeypatch.delenv("MATCHMAKER_MULTIHOST", raising=False)
+    assert maybe_initialize_distributed() is False
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_cpu_dryrun(tmp_path):
+    """2 processes × 4 virtual CPU devices = one 8-device distributed run of
+    the real Trainer (per-process batch slices, cross-process grad
+    all-reduce over gloo, primary-only run-folder writes)."""
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(32):
+        q = f"query topic{i % 4} alpha"
+        pos = f"body topic{i % 4} " + " ".join(f"w{rng.integers(50)}" for _ in range(6))
+        neg = "body " + " ".join(f"n{rng.integers(50)}" for _ in range(6))
+        lines.append(f"{q}\t{pos}\t{neg}\n")
+    (tmp_path / "train.tsv").write_text("".join(lines))
+
+    port = _free_port()
+    driver = os.path.join(os.path.dirname(__file__), "_multihost_train_driver.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "MATCHMAKER_COORDINATOR": f"127.0.0.1:{port}",
+            "MATCHMAKER_NUM_PROCESSES": "2",
+            "MATCHMAKER_PROCESS_ID": str(pid),
+            # the driver sets its own JAX_PLATFORMS/XLA_FLAGS before import
+        })
+        env.pop("XLA_FLAGS", None)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, driver, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert "MULTIHOST_DRYRUN_OK" in out, out[-2000:]
+    assert os.path.exists(tmp_path / "run" / "best-model.flax")
