@@ -42,6 +42,12 @@ def split_triple_batch(batch: Dict[str, jnp.ndarray]) -> Tuple[Dict, Dict]:
         if "query_idfs" in batch:
             pos["query_idfs"] = batch["query_idfs"]
             neg["query_idfs"] = batch["query_idfs"]
+        # replayed submodel tensors (IDCM chunk scores) from the cross-
+        # experiment train cache (utils/replay_cache; the feature the
+        # reference declares at train.py:180-182 but never wires)
+        if "bert_part_cached_pos" in batch:
+            pos["bert_part_cached"] = batch["bert_part_cached_pos"]
+            neg["bert_part_cached"] = batch["bert_part_cached_neg"]
     return pos, neg
 
 
@@ -51,6 +57,7 @@ def make_loss_fn(model, losses: LossBundle, config):
     ib_weight = config.get("in_batch_neg_weight", 1.0)
     qa_weight = config.get("qa_loss_lambda", 0.2)
     per_term_weight = config.get("per_term_loss_weight", 0.5)
+    cache_passage_scores = bool(config.get("submodel_train_cache_path"))
 
     def list_loss_fn(params, batch):
         # listwise dynamic batches (data/list_sampler.py): one positive +
@@ -128,6 +135,12 @@ def make_loss_fn(model, losses: LossBundle, config):
             sel = (pos_out["selection_loss"] + neg_out["selection_loss"]) / 2.0
             stats["selection_loss"] = sel
             loss = loss + sel
+
+        if cache_passage_scores and "passage_scores" in pos_out:
+            # surfaced for the trainer's cross-experiment write path (the
+            # trainer pops these non-scalar entries before logging)
+            stats["_cache_pos_passage_scores"] = pos_out["passage_scores"]
+            stats["_cache_neg_passage_scores"] = neg_out["passage_scores"]
 
         if "dyn_teacher_pos_per_term" in batch and "per_term_scores" in pos_out:
             # term-level distillation: student per-term MaxSim matches the

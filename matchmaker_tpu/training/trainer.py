@@ -252,6 +252,35 @@ class Trainer:
                 seed=seed,
             )
 
+        # cross-experiment replay cache for expensive submodel tensors during
+        # TRAINING (IDCM stage-2: the frozen BERT tower's chunk scores are
+        # deterministic per batch — cache once, replay across selection-loss
+        # experiments). The reference declares this (train.py:180-182,
+        # submodel_train_cache_path) but never wires it; here it works.
+        # Order-replay contract: identical data/seed/batch-size across runs.
+        cacher, cache_write = None, False
+        cache_path = config.get("submodel_train_cache_path")
+        if cache_path:
+            from matchmaker_tpu.utils.replay_cache import CrossExperimentReplayCache
+
+            cache_write = not os.path.exists(
+                os.path.join(cache_path, "cache-meta.json")
+            )
+            cacher = CrossExperimentReplayCache(cache_path, write=cache_write)
+            print(
+                f"[trainer] submodel train cache {'WRITE' if cache_write else 'REPLAY'}: {cache_path}"
+            )
+
+        def replay_cached(it):
+            for batch in it:
+                cached = cacher.get_next()
+                if cached is not None:
+                    b = batch[next(iter(batch))].shape[0]
+                    batch = dict(batch)
+                    batch["bert_part_cached_pos"] = np.asarray(cached[:b], np.float32)
+                    batch["bert_part_cached_neg"] = np.asarray(cached[b:], np.float32)
+                yield batch
+
         self.perf.start_block("train")
         for epoch in range(epochs):
             if stopped:
@@ -268,6 +297,8 @@ class Trainer:
                     import itertools
 
                     loader = itertools.islice(loader, pid, None, n_proc)
+            if cacher is not None and not cache_write:
+                loader = replay_cached(loader)
             if teacher is not None:
                 loader = teacher.wrap(loader, sharding=self.batch_sharding)
             recent_failures = []
@@ -305,6 +336,14 @@ class Trainer:
                         raise
                     continue
                 self.global_step += 1
+                if cacher is not None and cache_write and "_cache_pos_passage_scores" in stats:
+                    cacher.cache(np.concatenate([
+                        np.asarray(stats.pop("_cache_pos_passage_scores")),
+                        np.asarray(stats.pop("_cache_neg_passage_scores")),
+                    ], axis=0))
+                elif "_cache_pos_passage_scores" in stats:
+                    stats.pop("_cache_pos_passage_scores")
+                    stats.pop("_cache_neg_passage_scores")
                 if self.global_step % 100 == 0:
                     self._log_loss(epoch, stats)
                 if validate_every > 0 and self.global_step % validate_every == 0:
@@ -314,6 +353,8 @@ class Trainer:
             else:
                 # end-of-epoch validation keeps short epochs honest
                 stopped = self._validate(epoch) or stopped
+        if cacher is not None and cache_write:
+            cacher.finish()
         self.perf.stop_block("train", self.global_step)
 
         if self.n_processes > 1:

@@ -191,3 +191,71 @@ def test_secondary_output_npz_per_query_topn_and_model_params(tmp_path, eight_de
     save_secondary_output({}, str(tmp_path / "filter.npz"), model_params=big, max_param_size=256)
     f = np.load(tmp_path / "filter.npz")
     assert "model::mixer" in f.files and not any("token_embedding" in k for k in f.files)
+
+
+def test_submodel_train_cache_write_then_replay(tmp_path, eight_devices):
+    """submodel_train_cache_path (reference train.py:180-182, declared but
+    never wired there): run 1 WRITES the IDCM chunk scores per train batch;
+    run 2 REPLAYS them — the BERT tower is never invoked in the second run's
+    traced program (we prove it by breaking the tower between runs)."""
+    import jax
+    import numpy as np
+
+    from matchmaker_tpu.config import Config, auto_fill
+    from matchmaker_tpu.training.trainer import Trainer
+
+    rng = np.random.default_rng(9)
+    train = tmp_path / "train.tsv"
+    lines = []
+    for i in range(16):
+        q = f"query topic{i % 4}"
+        pos = " ".join(f"w{rng.integers(40)}" for _ in range(20))
+        neg = " ".join(f"n{rng.integers(40)}" for _ in range(20))
+        lines.append(f"{q}\t{pos}\t{neg}\n")
+    train.write_text("".join(lines))
+    cache_path = str(tmp_path / "chunk_cache")
+
+    def make_cfg():
+        return Config(auto_fill({
+            "model": "idcm",
+            "model_input_type": "auto", "token_embedder_type": "auto",
+            "bert_pretrained_model": "tiny-test", "use_fp16": False,
+            "max_query_length": 8, "max_doc_length": 48,
+            "idcm_chunk_size": 16, "idcm_overlap": 4,
+            "idcm_sample_n": 2, "idcm_train_selection": True,
+            "batch_size_train": 8, "batch_size_eval": 8,
+            "epochs": 1, "loss": "margin",
+            "learning_rate": 1e-3, "param_group0_learning_rate": 1e-3,
+            "param_group1_learning_rate": 1e-3,
+            "lr_schedule": "constant", "optimizer_warmup_steps": 0,
+            "validate_every_n_batches": -1, "random_seed": 3,
+            "validation_metric": "MRR@10",
+            "expirement_base_path": str(tmp_path),
+            "train_tsv": str(train),
+            "submodel_train_cache_path": cache_path,
+        }))
+
+    run1 = tmp_path / "run1"; run1.mkdir()
+    t1 = Trainer(make_cfg(), str(run1))
+    t1.train()
+    assert t1.global_step == 2
+    assert os.path.exists(os.path.join(cache_path, "cache-meta.json"))
+
+    # run 2: replay. Break the BERT chunk scorer — if the cached path is
+    # really used, the traced program never calls it.
+    from matchmaker_tpu.models import idcm as idcm_mod
+
+    run2 = tmp_path / "run2"; run2.mkdir()
+    t2 = Trainer(make_cfg(), str(run2))
+    orig = idcm_mod.IDCM._bert_chunk_scores
+    calls = []
+    def boom(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+    idcm_mod.IDCM._bert_chunk_scores = boom
+    try:
+        t2.train()
+    finally:
+        idcm_mod.IDCM._bert_chunk_scores = orig
+    assert t2.global_step == 2
+    assert not calls, "BERT chunk scorer ran despite a warm replay cache"
