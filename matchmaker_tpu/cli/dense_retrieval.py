@@ -69,6 +69,12 @@ def run(mode: str, config, run_folder: str) -> int:
             ckpt = os.path.join(ckpt, "best-model.flax")
         if os.path.exists(ckpt):
             params = load_params(ckpt, params)
+    # pin params to the mesh ONCE — host-numpy params re-upload the whole
+    # model on EVERY jitted call (catastrophic over a tunneled device:
+    # ~266 MB/batch for a DistilBERT-class tower)
+    from matchmaker_tpu.parallel.mesh import shard_params
+
+    params = shard_params(params, mesh)
 
     encode_folder = os.path.join(run_folder, "encoded")
 

@@ -7,9 +7,10 @@ This is the reference's headline result pipeline (reference README.md:148-165
 in-batch KL) executed end-to-end on a planted-relevance corpus:
 
   0. planted corpus w/ TAS artifacts  (data/synthetic.make_planted_tas_corpus)
-  1. MLM pre-train the encoder        (cli/pretrain.py)              ┐ proxy for
-  2. baseline BERT_DOT for clustering (MLM-grafted, cli/cluster_queries) │ "pretrained
-  3. ColBERT teacher trained on triples, MLM warmstart (training/trainer) ┘ DistilBERT"
+  1. MLM pre-train the encoder (cli/pretrain.py) — the "pretrained weights" proxy
+  2. short-train a baseline BERT_DOT (MLM warmstart) → k-means query clusters
+     (cli/cluster_queries, reference query_clusterer.py / runbook step 1b)
+  3. ColBERT teacher trained on the triples, MLM warmstart (training/trainer)
   4. teacher-score candidate pairs → pairs_with_teacher_scores.tsv
   5. STUDENT: TAS-Balanced sampler + dynamic ColBERT teacher (in-batch
      B×2B matrices → KLDivTeacherList) + Margin-MSE pairwise
@@ -124,21 +125,32 @@ def run_recipe(
     mlm_ckpt = os.path.join(mlm_folder, "best-model.flax")
     lap("mlm_pretrain")
 
-    # ---- 2. baseline BERT_DOT (MLM graft) + query clusters ------------
-    import jax
-
-    from matchmaker_tpu.data.tokenization import build_tokenizer
-    from matchmaker_tpu.models import get_model, init_params
-    from matchmaker_tpu.training.checkpoints import load_encoder_subtree, save_params
+    # ---- 2. baseline BERT_DOT + query clusters -------------------------
+    # the reference clusters train queries with a PREVIOUSLY TRAINED dense
+    # retriever (query_clusterer.py; runbook step 1b) — an untrained CLS maps
+    # every query to one k-means cluster. Short ranknet run from the MLM
+    # warmstart gives the baseline its query geometry.
+    from matchmaker_tpu.training.trainer import Trainer
 
     baseline_folder = os.path.join(work_dir, "baseline_bert_dot")
-    baseline_cfg = Config(auto_fill({**base, "model": "bert_dot"}))
+    baseline_cfg = Config(auto_fill({
+        **base,
+        "model": "bert_dot",
+        "train_tsv": paths["train_tsv"],
+        "batch_size_train": batch_size,
+        "batch_size_eval": batch_size,
+        "epochs": 1,
+        "loss": "ranknet",
+        "in_batch_negatives": True,
+        "in_batch_neg_loss": "ranknet",
+        "learning_rate": teacher_lr,
+        "param_group0_learning_rate": teacher_lr,
+        "param_group1_learning_rate": teacher_lr * 3,
+        "optimizer_warmup_steps": 20,
+        "warmstart_encoder_path": mlm_ckpt,
+    }))
     _write_run_folder(baseline_folder, baseline_cfg)
-    tok = build_tokenizer(baseline_cfg)
-    b_model = get_model(baseline_cfg, tok)
-    b_params = init_params(b_model, baseline_cfg, jax.random.PRNGKey(seed))
-    b_params = load_encoder_subtree(mlm_ckpt, b_params)
-    save_params(os.path.join(baseline_folder, "best-model.flax"), b_params)
+    Trainer(baseline_cfg, baseline_folder).train()
 
     from matchmaker_tpu.cli import cluster_queries as cluster_cli
 
@@ -153,8 +165,6 @@ def run_recipe(
     lap("clusters")
 
     # ---- 3. ColBERT teacher ------------------------------------------
-    from matchmaker_tpu.training.trainer import Trainer
-
     teacher_folder = os.path.join(work_dir, "colbert_teacher")
     teacher_cfg = Config(auto_fill({
         **base,

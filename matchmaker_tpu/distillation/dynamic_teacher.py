@@ -54,6 +54,11 @@ def load_teacher(teacher_path: str, overrides: Optional[dict] = None):
     ckpt = os.path.join(teacher_path, "best-model.flax")
     if os.path.exists(ckpt):
         params = load_params(ckpt, params)
+    # pin params to the device(s) ONCE: host-numpy params re-upload the whole
+    # model on EVERY jitted call — ~20 s/batch over a tunneled TPU
+    from matchmaker_tpu.parallel.mesh import make_mesh, shard_params
+
+    params = shard_params(params, make_mesh())
     return model, params, config, tokenizer
 
 

@@ -24,7 +24,17 @@ def save_params(path: str, params) -> None:
 
 def load_params(path: str, template) -> Any:
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        restored = flax.serialization.from_bytes(template, f.read())
+
+    # preserve the template's device placement: from_bytes returns HOST
+    # arrays, and host-numpy params re-upload the whole model on every
+    # jitted call (~266 MB/batch for a DistilBERT tower over a tunneled TPU)
+    def place(t, r):
+        if isinstance(t, jax.Array):
+            return jax.device_put(r, t.sharding)
+        return r
+
+    return jax.tree_util.tree_map(place, template, restored)
 
 
 def rotate_best(run_folder: str, n_best: int) -> None:
