@@ -139,7 +139,7 @@ def run_recipe(
         "train_tsv": paths["train_tsv"],
         "batch_size_train": batch_size,
         "batch_size_eval": batch_size,
-        "epochs": 1,
+        "epochs": 2,
         "loss": "ranknet",
         "in_batch_negatives": True,
         "in_batch_neg_loss": "ranknet",

@@ -175,26 +175,45 @@ def make_planted_tas_corpus(
         for qid, text in train_q.items():
             f.write(f"{qid}\t{text}\n")
 
-    # text triples for teacher training (pos = the planted doc's text)
+    # HARD negatives: other queries' relevant docs (same topic vocabulary,
+    # wrong topics — the planted analog of MS MARCO's BM25-retrieved
+    # negatives). Noise-only negatives make pos/neg separable WITHOUT the
+    # query (pos = topic words, neg = disjoint noise vocab), which gives
+    # margin-based distillation a query-independent shortcut and teaches the
+    # student nothing about matching — measured MRR collapse in round 4.
     collection_text = {}
     with open(paths["collection"]) as f:
         for line in f:
             pid, text = line.rstrip("\n").split("\t")
             collection_text[pid] = text
-    all_pids = list(collection_text.keys())
+    train_qids = list(train_q.keys())
+
+    def hard_neg_pid(qid: str) -> str:
+        other = train_qids[rng.randint(0, len(train_qids) - 1)]
+        while other == qid:
+            other = train_qids[rng.randint(0, len(train_qids) - 1)]
+        return pid_of_query[other]
+
     with open(paths["train_tsv"], "w") as f:
         for qid, qtext in train_q.items():
             pos_text = collection_text[pid_of_query[qid]]
-            for _ in range(triples_per_query):
-                f.write(f"{qtext}\t{pos_text}\t{irrel_doc()}\n")
+            for t in range(triples_per_query):
+                neg_text = (
+                    collection_text[hard_neg_pid(qid)] if t % 2 == 0 else irrel_doc()
+                )
+                f.write(f"{qtext}\t{pos_text}\t{neg_text}\n")
 
-    # id-based candidate pairs for the TAS pairs file (teacher scores them)
+    # id-based candidate pairs for the TAS pairs file (teacher scores them):
+    # mostly hard negatives, a few random distractors (margin-bin diversity)
     with open(paths["candidates"], "w") as f:
         for qid in train_q:
             pos_pid = pid_of_query[qid]
-            for _ in range(negs_per_query):
-                neg_pid = all_pids[rng.randint(0, n_docs - 1)]
-                while neg_pid == pos_pid:
-                    neg_pid = all_pids[rng.randint(0, n_docs - 1)]
+            for t in range(negs_per_query):
+                if t % 4 == 3:  # every 4th: random distractor
+                    neg_pid = f"d{rng.randint(0, n_docs - 1)}"
+                    while neg_pid == pos_pid:
+                        neg_pid = f"d{rng.randint(0, n_docs - 1)}"
+                else:
+                    neg_pid = hard_neg_pid(qid)
                 f.write(f"{qid}\t{pos_pid}\t{neg_pid}\n")
     return paths
