@@ -42,15 +42,32 @@ def main():
     ap.add_argument("--query-len", type=int, default=32)
     ap.add_argument("--cands", type=int, default=64)  # per-token candidates
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 token corpus (MXU double-rate + half HBM traffic)")
+    ap.add_argument("--q-chunk", type=int, default=256,
+                    help="query rows per kernel launch (corpus sweeps = flat_q/q_chunk)")
     args = ap.parse_args()
     print(f"[colbert-bench] device={jax.devices()[0]} tokens={args.token_rows} "
-          f"B={args.batch} Lq={args.query_len} k={args.cands}", flush=True)
+          f"B={args.batch} Lq={args.query_len} k={args.cands} "
+          f"int8={args.int8} q_chunk={args.q_chunk}", flush=True)
 
     grain = padding_grain()
     n_pad = -(-args.token_rows // grain) * grain
-    corpus = jax.jit(lambda key: jax.random.normal(key, (n_pad, args.dim), jnp.bfloat16))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(corpus)
+    if args.int8:
+        # ColBERT token vectors are L2-normalized (cosine MaxSim) — per-row
+        # absmax int8 is near-lossless there; synthetic stand-in here
+        def make(key):
+            v = jax.random.normal(key, (n_pad, args.dim), jnp.float32)
+            v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            s = jnp.maximum(jnp.abs(v).max(axis=1, keepdims=True) / 127.0, 1e-10)
+            return jnp.clip(jnp.round(v / s), -127, 127).astype(jnp.int8), s
+        corpus, cscales = jax.jit(make)(jax.random.PRNGKey(0))
+        jax.block_until_ready((corpus, cscales))
+    else:
+        corpus = jax.jit(lambda key: jax.random.normal(key, (n_pad, args.dim), jnp.bfloat16))(
+            jax.random.PRNGKey(0))
+        cscales = None
+        jax.block_until_ready(corpus)
     flat_q = args.batch * args.query_len
     queries = jax.random.normal(jax.random.PRNGKey(1), (flat_q, args.dim), jnp.float32)
 
@@ -58,7 +75,8 @@ def main():
     @jax.jit
     def search(q, seed, c):
         vals, ids = binmax_scan_topk(
-            q + seed * 1e-12, c, args.cands, n_valid=args.token_rows)
+            q + seed * 1e-12, c, args.cands, n_valid=args.token_rows,
+            corpus_scales=cscales, q_chunk=args.q_chunk)
         return vals.sum() + (ids.sum() % 2).astype(jnp.float32)
 
     t0 = time.time()

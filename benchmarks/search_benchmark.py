@@ -222,19 +222,19 @@ def main():
     ap.add_argument(
         "--configs", default="approx_int8,f16scan",
         help="comma list of: approx_int8, f16scan, f16scan_full, binmax[,_t1024,_t4096], "
-        "twostage_int8, twostage_f16",
+        "binmax_int8, twostage_int8, twostage_f16",
     )
     ap.add_argument("--scan-block", type=int, default=557056)
     args = ap.parse_args()
     configs = set(args.configs.split(","))
 
     print(f"[search-bench] device={jax.devices()[0]} rows={args.rows} dim={args.dim} k={args.k}")
-    binmax_cfgs = {c for c in configs if c.startswith("binmax")}
+    binmax_cfgs = {c for c in configs if c.startswith("binmax") and c != "binmax_int8"}
     needs_f16 = bool(configs & {"f16scan", "f16scan_full", "twostage_f16"})
     keep_f16 = needs_f16 or bool(binmax_cfgs)
     # binmax-only runs store bf16 directly: no second 13.7 GB buffer at 8.9M
     bf16_direct = bool(binmax_cfgs) and not needs_f16
-    keep_int8 = bool(configs & {"approx_int8", "twostage_int8", "twostage_f16"})
+    keep_int8 = bool(configs & {"approx_int8", "binmax_int8", "twostage_int8", "twostage_f16"})
     t0 = time.time()
     values, scale, rescore, gen = build_corpus(
         args.rows, args.dim, args.block, keep_f16, keep_int8, bf16_direct=bf16_direct
@@ -306,6 +306,14 @@ def main():
             run(cfg, functools.partial(
                 lambda q, c, t: binmax_scan_topk(q, c, args.k, n_valid=args.rows, tile_rows=t),
                 t=tile), (bf16_corpus,))
+    if "binmax_int8" in configs:
+        # fused int8 candidate kernel: MXU double-rate int8 dots at half the
+        # HBM corpus traffic. Rows here are L2-normalized so per-row scales
+        # are the constant global scale; real corpora get true per-row absmax
+        # scales from FlatIndex (mips_quantization: int8 + mips_kernel: binmax)
+        cscales = jnp.full((values.shape[0], 1), float(scale), jnp.float32)
+        run("binmax_int8", lambda q, v, s: binmax_scan_topk(
+            q, v, args.k, n_valid=args.rows, corpus_scales=s), (values, cscales))
     if "twostage_int8" in configs:
         run("twostage_int8", lambda q, v, s: twostage_exact_topk(
             q, v, s, args.k, oversample=args.oversample, block_size=args.block,

@@ -244,6 +244,24 @@ def _binmax_kernel(q_ref, c_ref, val_ref, *, tile_rows, n_valid, per_bin):
     val_ref[...] = _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
 
 
+def _binmax_kernel_int8(q_ref, c_ref, cs_ref, qs_ref, val_ref, *, tile_rows,
+                        n_valid, per_bin):
+    """Int8 corpus variant: int8×int8→int32 on the MXU's double-rate path
+    (halves HBM corpus traffic too), dequantized to f32 scores with the
+    rank-1 outer product of per-row scales before the bin-max tournament.
+    At D ≤ 2^7 the raw int32 dot is ≤ 127·127·D < 2^24, so the f32 cast is
+    EXACT and the mantissa-packing noise argument is unchanged."""
+    i = pl.program_id(0)
+    raw = jax.lax.dot_general(
+        c_ref[...],
+        q_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (T, Q) int32
+    scores_t = raw.astype(jnp.float32) * cs_ref[...] * qs_ref[...]
+    val_ref[...] = _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
+
+
 def _transpose_kernel(in_ref, out_ref):
     out_ref[...] = in_ref[...].T
 
@@ -322,14 +340,16 @@ def _pallas_transpose(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
 
 
 def binmax_candidates(
-    queries: jnp.ndarray,  # (Q, D) any float dtype
-    corpus: jnp.ndarray,  # (N, D) f16/bf16; pre-pad N to tile_rows to avoid a copy
+    queries: jnp.ndarray,  # (Q, D) any float dtype (int8 with query_scales)
+    corpus: jnp.ndarray,  # (N, D) f16/bf16 or int8; pre-pad N to tile_rows to avoid a copy
     n_valid: Optional[int] = None,
     per_bin: int = 2,
     tile_rows: int = 2048,
     interpret: Optional[bool] = None,
     q_chunk: int = 256,
     level2: Optional[int] = None,
+    corpus_scales: Optional[jnp.ndarray] = None,  # (N, 1) f32, int8 corpus only
+    query_scales: Optional[jnp.ndarray] = None,  # (Q, 1) f32, int8 corpus only
 ) -> jnp.ndarray:
     """Per-bin top-``per_bin`` packed candidates over the whole corpus.
 
@@ -351,7 +371,11 @@ def binmax_candidates(
     q, dim = queries.shape
     n = corpus.shape[0]
     q_chunk = max(128, q_chunk // 128 * 128)  # lane-axis multiple
-    if corpus.dtype != jnp.bfloat16:
+    int8_mode = corpus.dtype == jnp.int8
+    if int8_mode:
+        assert corpus_scales is not None and query_scales is not None, \
+            "int8 corpus needs corpus_scales (N,1) and query_scales (Q,1)"
+    elif corpus.dtype != jnp.bfloat16:
         corpus = corpus.astype(jnp.bfloat16)
     # rows must give a 128-multiple candidate count (the transpose pass works
     # on 128-column blocks) — callers in hot loops (FlatIndex) pre-pad to
@@ -359,6 +383,8 @@ def binmax_candidates(
     grain = padding_grain(tile_rows, per_bin)
     if n % grain != 0:
         corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
+        if int8_mode:  # padded rows: scale 0 → score exactly 0, masked by n_valid
+            corpus_scales = jnp.pad(corpus_scales, ((0, grain - n % grain), (0, 0)))
     if n_valid is None:
         n_valid = n
     n_pad = corpus.shape[0]
@@ -366,43 +392,73 @@ def binmax_candidates(
         interpret = not _on_tpu()
 
     q_pad = -(-q // 128) * 128  # Q is the lane axis in-kernel
-    qb = queries.astype(jnp.bfloat16)
+    qb = queries if int8_mode else queries.astype(jnp.bfloat16)
     if q_pad != q:
         qb = jnp.pad(qb, ((0, q_pad - q), (0, 0)))
+        if int8_mode:
+            query_scales = jnp.pad(query_scales, ((0, q_pad - q), (0, 0)))
 
     nb_tile = tile_rows // BIN_WIDTH * per_bin
     n_cands = n_pad // BIN_WIDTH * per_bin
-    kernel = functools.partial(
-        _binmax_kernel, tile_rows=tile_rows, n_valid=n_valid, per_bin=per_bin
-    )
+    if int8_mode:
+        kernel = functools.partial(
+            _binmax_kernel_int8, tile_rows=tile_rows, n_valid=n_valid, per_bin=per_bin
+        )
+        qs_t = query_scales.astype(jnp.float32).reshape(1, -1)  # (1, Q_pad) lanes
+    else:
+        kernel = functools.partial(
+            _binmax_kernel, tile_rows=tile_rows, n_valid=n_valid, per_bin=per_bin
+        )
+        qs_t = None
 
-    def launch(q_block):  # (q_chunk_or_pad, D) bf16 → PHYSICAL (q_block, width)
+    def launch(q_block, qs_block=None):  # (q_chunk_or_pad, D) → PHYSICAL (q_block, width)
         qp = q_block.shape[0]
-        vals_t = pl.pallas_call(
-            kernel,
-            grid=(n_pad // tile_rows,),
-            in_specs=[
-                pl.BlockSpec((qp, dim), lambda i: (0, 0)),
-                pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_cands, qp), jnp.float32),
-            interpret=interpret,
-        )(q_block, corpus)
+        if int8_mode:
+            vals_t = pl.pallas_call(
+                kernel,
+                grid=(n_pad // tile_rows,),
+                in_specs=[
+                    pl.BlockSpec((qp, dim), lambda i: (0, 0)),
+                    pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
+                    pl.BlockSpec((tile_rows, 1), lambda i: (i, 0)),
+                    pl.BlockSpec((1, qp), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((n_cands, qp), jnp.float32),
+                interpret=interpret,
+            )(q_block, corpus, corpus_scales.astype(jnp.float32), qs_block)
+        else:
+            vals_t = pl.pallas_call(
+                kernel,
+                grid=(n_pad // tile_rows,),
+                in_specs=[
+                    pl.BlockSpec((qp, dim), lambda i: (0, 0)),
+                    pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
+                ],
+                out_specs=pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((n_cands, qp), jnp.float32),
+                interpret=interpret,
+            )(q_block, corpus)
         if level2:
             vals_t = _level2_reduce(vals_t, interpret, use_pallas=True,
                                     bin_width=level2)
         return _pallas_transpose(vals_t, interpret)
 
     if q_pad <= q_chunk:
-        return launch(qb)[:q]
+        return launch(qb, qs_t)[:q]
 
     # chunk the query axis: VMEM holds (tile_rows, q_chunk) scores + temps
     q_pad = -(-q // q_chunk) * q_chunk
     if q_pad != qb.shape[0]:
         qb = jnp.pad(qb, ((0, q_pad - qb.shape[0]), (0, 0)))
+        if int8_mode:
+            qs_t = jnp.pad(qs_t, ((0, 0), (0, q_pad - qs_t.shape[1])))
     chunks = qb.reshape(q_pad // q_chunk, q_chunk, dim)
-    vals = jax.lax.map(launch, chunks)
+    if int8_mode:
+        qs_chunks = qs_t.reshape(q_pad // q_chunk, 1, q_chunk)
+        vals = jax.lax.map(lambda args: launch(*args), (chunks, qs_chunks))
+    else:
+        vals = jax.lax.map(launch, chunks)
     return vals.reshape(q_pad, vals.shape[-1])[:q]
 
 
@@ -413,29 +469,45 @@ def binmax_candidates_jnp(
     per_bin: int = 2,
     tile_rows: int = 2048,
     level2: Optional[int] = None,
+    corpus_scales: Optional[jnp.ndarray] = None,
+    query_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Reference implementation: identical math and candidate layout, plain
     XLA (tests + CPU fallback)."""
     q, dim = queries.shape
     n = corpus.shape[0]
+    int8_mode = corpus.dtype == jnp.int8
     grain = padding_grain(tile_rows, per_bin)  # same padding rule as pallas
     if n % grain != 0:
         corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
+        if int8_mode:
+            corpus_scales = jnp.pad(corpus_scales, ((0, grain - n % grain), (0, 0)))
     if n_valid is None:
         n_valid = n
-    qb = queries.astype(jnp.bfloat16)
+    qb = queries if int8_mode else queries.astype(jnp.bfloat16)
     blocks = corpus.reshape(-1, tile_rows, dim)
+    sblocks = (corpus_scales.astype(jnp.float32).reshape(-1, tile_rows, 1)
+               if int8_mode else jnp.zeros((blocks.shape[0], 1, 1)))
+    qs_t = (query_scales.astype(jnp.float32).reshape(1, -1)
+            if int8_mode else None)
 
     def body(_, inp):
-        blk, i = inp
-        scores_t = jax.lax.dot_general(
-            blk.astype(jnp.bfloat16), qb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        blk, sblk, i = inp
+        if int8_mode:
+            raw = jax.lax.dot_general(
+                blk, qb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores_t = raw.astype(jnp.float32) * sblk * qs_t
+        else:
+            scores_t = jax.lax.dot_general(
+                blk.astype(jnp.bfloat16), qb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return None, _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin,
                                      use_argmax=True)
 
-    _, vals = jax.lax.scan(body, None, (blocks, jnp.arange(blocks.shape[0])))
+    _, vals = jax.lax.scan(body, None, (blocks, sblocks, jnp.arange(blocks.shape[0])))
     # (n_tiles, nb_tile, Q) → (Q, n_tiles*nb_tile), tile-major like the kernel
     raw = vals.reshape(-1, q)
     if level2:
@@ -482,12 +554,18 @@ def binmax_scan_topk(
     interpret: Optional[bool] = None,
     valid_bound=None,
     gate_rows: Optional[int] = None,
+    corpus_scales: Optional[jnp.ndarray] = None,
+    q_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-k over an f16/bf16 corpus: fused candidate scan + one exact top-k.
+    """Top-k over an f16/bf16 (or int8 + per-row scales) corpus: fused
+    candidate scan + one exact top-k.
 
     Drop-in for :func:`ops.mips_f16.f16_scan_topk` (approx mode); same
     (values, int32 ids) contract, ids offset by ``index_offset`` for sharding.
     Id extraction is gather-free (mantissa packing, see module docstring).
+    An int8 corpus (``corpus_scales`` (N, 1) f32 required) runs the MXU's
+    double-rate int8 path at half the HBM traffic; float queries are
+    per-row-quantized here inside the jit.
 
     ``valid_bound`` (traced int, optional): additionally -inf every candidate
     column whose entire bin lies at/after this row — used by the sharded path,
@@ -499,6 +577,14 @@ def binmax_scan_topk(
         use_pallas = _on_tpu() or bool(interpret)
     fn = binmax_candidates if use_pallas else binmax_candidates_jnp
     kw = {"interpret": interpret} if use_pallas else {}
+    if use_pallas and q_chunk is not None:
+        kw["q_chunk"] = q_chunk
+    if corpus.dtype == jnp.int8:
+        qf = queries.astype(jnp.float32)
+        q_scale = jnp.maximum(jnp.abs(qf).max(axis=1, keepdims=True) / 127.0, 1e-10)
+        queries = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+        kw["corpus_scales"] = corpus_scales
+        kw["query_scales"] = q_scale
 
     # Final-selection economics: lax.top_k at k~1000 lowers to a FULL STABLE
     # SORT on TPU (~0.5 µs/element — 70 ms over the 8.9M corpus's 139k
@@ -550,6 +636,7 @@ def sharded_binmax_topk(
     mesh: Optional[Mesh] = None,
     axis="data",  # a mesh axis name or a tuple of names (multi-host (dcn, ici))
     n_valid: Optional[int] = None,
+    corpus_scales: Optional[jnp.ndarray] = None,  # (N, 1) f32 with an int8 corpus
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mesh-sharded fused scan: per-chip kernel + one (Q, k·shards) ICI merge —
@@ -567,7 +654,8 @@ def sharded_binmax_topk(
     candidates from the boundary bins — ≤72 of the k·n_shards merged pool,
     and those slots are -inf'd, not mis-ranked."""
     if mesh is None or len(mesh.devices.flatten()) == 1:
-        return binmax_scan_topk(queries, corpus, k, n_valid=n_valid, **kw)
+        return binmax_scan_topk(queries, corpus, k, n_valid=n_valid,
+                                corpus_scales=corpus_scales, **kw)
 
     from matchmaker_tpu.parallel.mesh import axis_size
 
@@ -575,15 +663,17 @@ def sharded_binmax_topk(
     shard_rows = corpus.shape[0] // n_shards
     if n_valid is None:
         n_valid = corpus.shape[0]
+    if corpus_scales is None:  # placeholder so the shard_map arity is static
+        corpus_scales = jnp.zeros((n_shards, 1), jnp.float32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis, None)),
+        in_specs=(P(), P(axis, None), P(axis, None)),
         out_specs=(P(None, axis), P(None, axis)),
         check_vma=False,
     )
-    def per_shard(q, c_shard):
+    def per_shard(q, c_shard, s_shard):
         shard_id = jax.lax.axis_index(axis)
         base = shard_id * shard_rows
         # local n_valid=shard_rows masks rows the kernel pads to a tile
@@ -596,7 +686,8 @@ def sharded_binmax_topk(
         # shard 0 holds min(shard_rows, n_valid)) — static and SPMD-uniform
         vals, idx = binmax_scan_topk(
             q, c_shard, k, n_valid=shard_rows, valid_bound=local_valid,
-            gate_rows=min(shard_rows, n_valid), **kw
+            gate_rows=min(shard_rows, n_valid),
+            corpus_scales=s_shard if c_shard.dtype == jnp.int8 else None, **kw
         )
         vals = jnp.where(idx + base < n_valid, vals, -jnp.inf)
         if vals.shape[1] < k:
@@ -606,6 +697,6 @@ def sharded_binmax_topk(
         # -inf slots carry the -1 sentinel, never a real-looking global id
         return vals, jnp.where(jnp.isfinite(vals) & (idx >= 0), idx + base, -1)
 
-    part_vals, part_idx = per_shard(queries, corpus)
+    part_vals, part_idx = per_shard(queries, corpus, corpus_scales)
     vals, pos = jax.lax.top_k(part_vals, k)
     return vals, jnp.take_along_axis(part_idx, pos, axis=1)

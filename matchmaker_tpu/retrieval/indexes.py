@@ -113,7 +113,8 @@ class FlatIndex(BaseNNIndexer):
         # permutation makes every bin an i.i.d. corpus sample, so the
         # binomial collision model holds for ANY corpus shape. Ids permute
         # with the rows; row order is otherwise meaningless to this index.
-        if self.f16_scan and self.mips_kernel == "binmax" and len(self._ids) > 1:
+        if (self.f16_scan or self.quantized) and self.mips_kernel == "binmax" \
+                and len(self._ids) > 1:
             perm = np.random.default_rng(0xB1A5).permutation(len(self._ids))
             self._ids = self._ids[perm]
             self._vectors = self._vectors[perm]
@@ -136,7 +137,7 @@ class FlatIndex(BaseNNIndexer):
         # grain must be a 128-multiple for the transpose pass) — otherwise
         # binmax_candidates re-pads the corpus inside every jitted search
         # (a full HBM copy per call; a second 13.7 GB buffer at 8.9M)
-        if self.f16_scan and self.mips_kernel == "binmax":
+        if (self.f16_scan or self.quantized) and self.mips_kernel == "binmax":
             from matchmaker_tpu.ops.mips_binmax import padding_grain
 
             grain = n_shards * padding_grain()  # 8192: covers per_bin 2/4/8
@@ -149,6 +150,43 @@ class FlatIndex(BaseNNIndexer):
         import functools
 
         mesh, block = self.mesh, self.block_size
+
+        if self.quantized and self.mips_kernel == "binmax" and not self.twostage:
+            # int8 × fused binmax: the MXU's double-rate int8 path at half the
+            # HBM corpus traffic, feeding the same bin-max tournament (per-row
+            # dequant scales applied in-kernel). ~2x the bf16 binmax scan.
+            from matchmaker_tpu.ops.mips_binmax import sharded_binmax_topk
+            from matchmaker_tpu.ops.mips_quant import quantize_corpus, sharded_quantized_topk
+
+            values, scales = quantize_corpus(vectors, per_row=True)
+            dv = jnp.asarray(values)
+            ds = jnp.asarray(scales.reshape(-1, 1))
+            if self.mesh is not None and n_shards > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dv = jax.device_put(dv, NamedSharding(self.mesh, P(axes, None)))
+                ds = jax.device_put(ds, NamedSharding(self.mesh, P(axes, None)))
+            self._device_vectors = (dv, ds, None)
+            row_count = self._row_count
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def search_fn(queries, corpus, k):
+                values, scales, _ = corpus
+                # same geometry gate + exact fallback as the f16 binmax path
+                if row_count // 128 * 8 >= 8 * k:
+                    want = int(min(8, max(2, -(-8 * k * 128 // row_count))))
+                    per_bin = 1 << (want - 1).bit_length()
+                    return sharded_binmax_topk(
+                        queries, values, k, mesh=mesh, axis=axes, n_valid=row_count,
+                        per_bin=per_bin, corpus_scales=scales,
+                    )
+                return sharded_quantized_topk(
+                    queries, values, scales[:, 0], k, mesh=mesh, axis=axes,
+                    block_size=block, approx=False, n_valid=row_count,
+                )
+
+            self._search_fn = search_fn
+            return
 
         if self.quantized:
             from matchmaker_tpu.ops.mips_quant import quantize_corpus, sharded_quantized_topk

@@ -367,3 +367,107 @@ def test_binmax_level2_tournament():
                 got = set(map(int, np.asarray(ids)[qi]))
                 assert len(got & set(map(int, ex[qi]))) >= k - 2, (nn, use_pallas, qi)
             assert np.asarray(ids).max() < nn
+
+
+def test_binmax_int8_pallas_matches_jnp():
+    """Int8 binmax kernel (interpret mode) vs the jnp int8 reference: same
+    packed lane bits; unpacked values track true f32 scores within int8
+    quantization noise; top-k near-exact."""
+    from matchmaker_tpu.ops.mips_binmax import (
+        binmax_candidates,
+        binmax_candidates_jnp,
+        binmax_scan_topk,
+        unpack_candidates,
+    )
+    from matchmaker_tpu.ops.mips_quant import quantize_corpus
+
+    rng = np.random.default_rng(21)
+    n, d, q, k = 3000, 32, 7, 8  # padding path (3000 % grain != 0)
+    corpus_f = rng.normal(size=(n, d)).astype(np.float32)
+    values, scales = quantize_corpus(corpus_f, per_row=True)
+    corpus = jnp.asarray(values)
+    cscales = jnp.asarray(scales.reshape(-1, 1))
+    queries_f = rng.normal(size=(q, d)).astype(np.float32)
+    q_scale = np.maximum(np.abs(queries_f).max(axis=1, keepdims=True) / 127.0, 1e-10)
+    q_int = jnp.asarray(np.clip(np.round(queries_f / q_scale), -127, 127).astype(np.int8))
+    qs = jnp.asarray(q_scale.astype(np.float32))
+
+    p1 = binmax_candidates(q_int, corpus, interpret=True, tile_rows=512,
+                           corpus_scales=cscales, query_scales=qs)
+    p2 = binmax_candidates_jnp(q_int, corpus, tile_rows=512,
+                               corpus_scales=cscales, query_scales=qs)
+    cols = jnp.broadcast_to(jnp.arange(p1.shape[1]), p1.shape)
+    v1, i1 = map(np.asarray, unpack_candidates(p1, cols, 512, 2))
+    v2, i2 = map(np.asarray, unpack_candidates(p2, cols, 512, 2))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+    finite = np.isfinite(v1)
+    assert i1[finite].max() < n
+    # values approximate the true f32 dot within int8 noise (both sides
+    # quantized: ~1% relative on N(0,1) vectors at d=32)
+    true = queries_f @ corpus_f.T
+    sel = i1[finite]
+    qi = np.broadcast_to(np.arange(q)[:, None], i1.shape)[finite]
+    np.testing.assert_allclose(v1[finite], true[qi, sel], rtol=0.1, atol=0.15)
+
+    # scan_topk quantizes float queries itself; near-exact top-k
+    tv, ti = binmax_scan_topk(jnp.asarray(queries_f), corpus, k=k, tile_rows=512,
+                              use_pallas=False, corpus_scales=cscales)
+    exact = np.argsort(-true, axis=1)[:, :k]
+    for r in range(q):
+        assert len(set(map(int, np.asarray(ti)[r])) & set(map(int, exact[r]))) >= k - 2
+
+
+def test_sharded_binmax_int8_matches_single_device(eight_devices):
+    """Int8 sharded binmax == single-device int8 binmax (scales shard with
+    the rows; in-shard padding masked)."""
+    from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk, sharded_binmax_topk
+    from matchmaker_tpu.ops.mips_quant import quantize_corpus
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(22)
+    n, d, k = 8 * 384, 32, 16
+    corpus_f = rng.normal(size=(n, d)).astype(np.float32)
+    values, scales = quantize_corpus(corpus_f, per_row=True)
+    corpus = jnp.asarray(values)
+    cscales = jnp.asarray(scales.reshape(-1, 1))
+    queries = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+    mesh = make_mesh()
+
+    v1, i1 = jax.jit(lambda q, c, s: binmax_scan_topk(
+        q, c, k, tile_rows=512, use_pallas=False, corpus_scales=s))(
+        queries, corpus, cscales)
+    v8, i8 = jax.jit(lambda q, c, s: sharded_binmax_topk(
+        q, c, k, mesh=mesh, tile_rows=512, use_pallas=False, corpus_scales=s))(
+        queries, corpus, cscales)
+    assert np.asarray(i8).max() < n
+    for r in range(8):
+        assert set(map(int, np.asarray(i1)[r])) == set(map(int, np.asarray(i8)[r]))
+    np.testing.assert_allclose(np.sort(np.asarray(v1), 1), np.sort(np.asarray(v8), 1), rtol=1e-5)
+
+
+def test_flat_index_int8_binmax(eight_devices):
+    """FlatIndex mips_quantization=int8 + mips_kernel=binmax: the int8 fused
+    path (default engine) returns correct ids on the 8-device mesh; small
+    corpora fall back to the exact int8 scan."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+    from matchmaker_tpu.retrieval.indexes import FlatIndex
+
+    rng = np.random.default_rng(23)
+    for n in (160, 8 * 2048):
+        index = FlatIndex(
+            {"token_dtype": "float16", "mips_quantization": "int8",
+             "mips_kernel": "binmax"}, make_mesh(),
+        )
+        vectors = rng.normal(size=(n, 24)).astype(np.float32)
+        vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+        ids = np.array([f"d{i}" for i in range(n)])
+        index.prepare(24)
+        index.index(ids, vectors)
+        q = vectors[[3, n - 5]]
+        scores, got = index.search(q, 5)
+        assert np.isfinite(scores).all(), (n, scores)
+        assert all(g != "" for row in got for g in row), (n, got)
+        # self-retrieval at cosine 1.0 survives int8 quantization
+        assert "d3" in set(got[0]) and f"d{n-5}" in set(got[1]), (n, got)
