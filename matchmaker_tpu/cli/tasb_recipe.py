@@ -65,6 +65,7 @@ def run_recipe(
     index_type: str = "scann",
     top_n: int = 100,
     seed: int = 7,
+    resume: bool = False,
 ) -> Dict[str, float]:
     import numpy as np
 
@@ -77,6 +78,15 @@ def run_recipe(
     def lap(name):
         timings[name] = round(time.time() - t_start - sum(timings.values()), 1)
         print(f"[tasb-recipe] {name} done ({timings[name]}s)", flush=True)
+
+    def have(*artifacts):
+        """Stage-resume: skip a stage whose artifacts already exist (hyper-
+        parameter iteration on the later stages shouldn't repay the earlier
+        ones; delete the artifact to force a stage to rerun)."""
+        hit = resume and all(os.path.exists(a) for a in artifacts)
+        if hit:
+            print(f"[tasb-recipe] resume: reusing {', '.join(artifacts)}", flush=True)
+        return hit
 
     # ---- 0. corpus ----------------------------------------------------
     data_dir = os.path.join(work_dir, "data")
@@ -119,10 +129,11 @@ def run_recipe(
         "optimizer_warmup_steps": 20,
         "mlm_mask_whole_words": True,
     }))
-    rc = pretrain_cli.run(mlm_cfg, mlm_folder)
-    if rc != 0:
-        raise RuntimeError("MLM pretrain failed")
     mlm_ckpt = os.path.join(mlm_folder, "best-model.flax")
+    if not have(mlm_ckpt):
+        rc = pretrain_cli.run(mlm_cfg, mlm_folder)
+        if rc != 0:
+            raise RuntimeError("MLM pretrain failed")
     lap("mlm_pretrain")
 
     # ---- 2. baseline BERT_DOT + query clusters -------------------------
@@ -149,19 +160,20 @@ def run_recipe(
         "optimizer_warmup_steps": 20,
         "warmstart_encoder_path": mlm_ckpt,
     }))
-    _write_run_folder(baseline_folder, baseline_cfg)
-    Trainer(baseline_cfg, baseline_folder).train()
-
-    from matchmaker_tpu.cli import cluster_queries as cluster_cli
-
     clusters_path = os.path.join(work_dir, "query_clusters.tsv")
-    rc = cluster_cli.run(
-        baseline_folder, paths["train_queries"], clusters_path,
-        clusters=min(n_clusters, max(2, n_train_queries // 8)),
-        batch_size=128,
-    )
-    if rc != 0:
-        raise RuntimeError("query clustering failed")
+    if not have(clusters_path):
+        _write_run_folder(baseline_folder, baseline_cfg)
+        Trainer(baseline_cfg, baseline_folder).train()
+
+        from matchmaker_tpu.cli import cluster_queries as cluster_cli
+
+        rc = cluster_cli.run(
+            baseline_folder, paths["train_queries"], clusters_path,
+            clusters=min(n_clusters, max(2, n_train_queries // 8)),
+            batch_size=128,
+        )
+        if rc != 0:
+            raise RuntimeError("query clustering failed")
     lap("clusters")
 
     # ---- 3. ColBERT teacher ------------------------------------------
@@ -183,16 +195,18 @@ def run_recipe(
         "optimizer_warmup_steps": 20,
         "warmstart_encoder_path": mlm_ckpt,
     }))
-    _write_run_folder(teacher_folder, teacher_cfg)
-    Trainer(teacher_cfg, teacher_folder).train()
+    if not have(os.path.join(teacher_folder, "best-model.flax")):
+        _write_run_folder(teacher_folder, teacher_cfg)
+        Trainer(teacher_cfg, teacher_folder).train()
     lap("teacher_train")
 
     # ---- 4. teacher-score the candidate pairs -------------------------
     pairs_path = os.path.join(work_dir, "pairs_with_teacher_scores.tsv")
-    _score_candidates(
-        teacher_folder, paths["candidates"], paths["train_queries"],
-        paths["collection"], pairs_path, batch_size=128,
-    )
+    if not have(pairs_path):
+        _score_candidates(
+            teacher_folder, paths["candidates"], paths["train_queries"],
+            paths["collection"], pairs_path, batch_size=128,
+        )
     lap("pair_scoring")
 
     # ---- 5. student: TAS-B + dynamic teacher --------------------------
@@ -225,8 +239,9 @@ def run_recipe(
         "optimizer_warmup_steps": 50,
         "warmstart_encoder_path": mlm_ckpt,
     }))
-    _write_run_folder(student_folder, student_cfg)
-    Trainer(student_cfg, student_folder).train()
+    if not have(os.path.join(student_folder, "best-model.flax")):
+        _write_run_folder(student_folder, student_cfg)
+        Trainer(student_cfg, student_folder).train()
     lap("student_train")
 
     # ---- 6. encode → binmax index → full-corpus search ----------------
@@ -373,6 +388,8 @@ def main() -> int:
     ap.add_argument("--teacher-lr", type=float, default=3e-4)
     ap.add_argument("--student-lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse existing stage artifacts in --work-dir")
     args = ap.parse_args()
     out = run_recipe(
         args.work_dir, model_name=args.model, n_docs=args.n_docs,
@@ -380,7 +397,7 @@ def main() -> int:
         mlm_steps=args.mlm_steps, teacher_epochs=args.teacher_epochs,
         tas_batches_per_epoch=args.tas_batches, student_epochs=args.student_epochs,
         batch_size=args.batch_size, index_type=args.index_type, seed=args.seed,
-        teacher_lr=args.teacher_lr, student_lr=args.student_lr,
+        teacher_lr=args.teacher_lr, student_lr=args.student_lr, resume=args.resume,
     )
     return 0 if out.get("MRR@10") is not None else 1
 

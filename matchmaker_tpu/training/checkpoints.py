@@ -62,6 +62,12 @@ class TrainStateCheckpointer:
     def save(self, step: int, state) -> None:
         path = os.path.join(self.directory, f"step_{step}")
         self.checkpointer.save(path, state, force=True)
+        # StandardCheckpointer commits ASYNCHRONOUSLY: without the barrier a
+        # reader (resume_from_train_state, or a crash right after train())
+        # can scan the directory before the tmp dir is renamed and see no
+        # checkpoint at all (flaked under CPU contention in the full suite)
+        if hasattr(self.checkpointer, "wait_until_finished"):
+            self.checkpointer.wait_until_finished()
 
     def restore(self, step: int, template) -> Any:
         path = os.path.join(self.directory, f"step_{step}")
