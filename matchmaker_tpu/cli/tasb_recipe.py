@@ -50,12 +50,12 @@ def _write_run_folder(folder: str, config) -> None:
 
 def run_recipe(
     work_dir: str,
-    model_name: str = "distilbert-base-uncased",
+    model_name: str = "mini-lm",
     n_docs: int = 100_000,
     n_train_queries: int = 1000,
     n_eval_queries: int = 100,
-    mlm_steps: int = 300,
-    teacher_epochs: int = 2,
+    mlm_steps: int = 1000,
+    teacher_epochs: int = 10,
     tas_batches_per_epoch: int = 300,
     student_epochs: int = 2,
     batch_size: int = 64,
@@ -67,6 +67,12 @@ def run_recipe(
     seed: int = 7,
     resume: bool = False,
 ) -> Dict[str, float]:
+    """Defaults bootstrap a ``mini`` (4x256, ~11M param) encoder FROM SCRATCH:
+    measured on the planted corpus, a DistilBERT-size tower without real
+    pretrained weights stays at chance on ranking triples for thousands of
+    steps (teacher pairwise acc ~0.5 at every stable lr; the mini tier hits
+    0.999 in 10 epochs). With real MS MARCO + pretrained DistilBERT
+    (docs/msmarco_runbook.md) pass ``--model distilbert-base-uncased``."""
     import numpy as np
 
     from matchmaker_tpu.config import Config, auto_fill
@@ -150,7 +156,7 @@ def run_recipe(
         "train_tsv": paths["train_tsv"],
         "batch_size_train": batch_size,
         "batch_size_eval": batch_size,
-        "epochs": 2,
+        "epochs": max(2, teacher_epochs // 2),
         "loss": "ranknet",
         "in_batch_negatives": True,
         "in_batch_neg_loss": "ranknet",
@@ -375,12 +381,12 @@ def _is_float(v) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--work-dir", required=True)
-    ap.add_argument("--model", default="distilbert-base-uncased")
+    ap.add_argument("--model", default="mini-lm")
     ap.add_argument("--n-docs", type=int, default=100_000)
     ap.add_argument("--n-train-queries", type=int, default=1000)
     ap.add_argument("--n-eval-queries", type=int, default=100)
-    ap.add_argument("--mlm-steps", type=int, default=300)
-    ap.add_argument("--teacher-epochs", type=int, default=2)
+    ap.add_argument("--mlm-steps", type=int, default=1000)
+    ap.add_argument("--teacher-epochs", type=int, default=10)
     ap.add_argument("--tas-batches", type=int, default=300)
     ap.add_argument("--student-epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=64)

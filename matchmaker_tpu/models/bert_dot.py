@@ -21,6 +21,14 @@ class BertDot(Ranker):
     compress_dim: int = -1  # -1 = no compression layer
     return_vecs: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # L2-normalize CLS vectors (cosine scoring) — config
+    # ``bert_dot_normalize: true``, default off (reference parity: raw dot,
+    # bert_dot.py:66). Same bootstrap role as ColBert.normalize: a weakly
+    # pretrained encoder's CLS space is anisotropic (every pair at cosine
+    # ~1.0, dots ~norm² ~780) and ranking training stalls; unit vectors put
+    # the margin on an O(1) scale. Retrieval is unaffected structurally —
+    # encode() returns the normalized vectors, so MIPS over them IS cosine.
+    normalize: bool = False
 
     @classmethod
     def from_config(cls, config, pretrained=None):
@@ -29,6 +37,7 @@ class BertDot(Ranker):
             compress_dim=config.get("bert_dot_compress_dim", -1),
             return_vecs=config.get("in_batch_negatives", False) or config.get("_always_return_vecs", False),
             compute_dtype=jnp.bfloat16 if config.get("use_fp16", True) else jnp.float32,
+            normalize=config.get("bert_dot_normalize", False),
         )
 
     def setup(self):
@@ -40,6 +49,10 @@ class BertDot(Ranker):
         vec = self.encoder(ids, mask)[:, 0, :]
         if self.compress_dim > -1:
             vec = self.compressor(vec)
+        if self.normalize:
+            vec = vec / jnp.maximum(
+                jnp.linalg.norm(vec.astype(jnp.float32), axis=-1, keepdims=True), 1e-6
+            ).astype(vec.dtype)
         return vec
 
     def __call__(self, batch: Batch, output_secondary: bool = False) -> Output:
@@ -93,6 +106,7 @@ class BertDotDualEncoder(Ranker):
     compress_dim: int = -1
     return_vecs: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    normalize: bool = False  # see BertDot.normalize
 
     @classmethod
     def from_config(cls, config, pretrained=None):
@@ -101,6 +115,7 @@ class BertDotDualEncoder(Ranker):
             compress_dim=config.get("bert_dot_compress_dim", -1),
             return_vecs=config.get("in_batch_negatives", False),
             compute_dtype=jnp.bfloat16 if config.get("use_fp16", True) else jnp.float32,
+            normalize=config.get("bert_dot_normalize", False),
         )
 
     def setup(self):
@@ -114,6 +129,10 @@ class BertDotDualEncoder(Ranker):
         vec = tower(ids, mask)[:, 0, :]
         if self.compress_dim > -1:
             vec = self.compressor(vec)
+        if self.normalize:
+            vec = vec / jnp.maximum(
+                jnp.linalg.norm(vec.astype(jnp.float32), axis=-1, keepdims=True), 1e-6
+            ).astype(vec.dtype)
         return vec
 
     def __call__(self, batch: Batch, output_secondary: bool = False) -> Output:

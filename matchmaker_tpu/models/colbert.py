@@ -23,6 +23,15 @@ class ColBert(Ranker):
     return_vecs: bool = True
     return_per_term: bool = False  # per-query-term MaxSim scores (teacher/term distillation)
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # L2-normalize token vectors (cosine MaxSim) — the ORIGINAL ColBERT
+    # formulation (Khattab & Zaharia '20 §3.2); the reference variant ships it
+    # commented out (colbert.py:62-63) because it starts from pretrained
+    # weights whose geometry tolerates raw dots. Config
+    # ``colbert_normalize: true``; essential when bootstrapping from weak
+    # warmstarts: raw-encoder token dots carry a huge anisotropic common mode
+    # (measured |s|~7000 at margins <1 — ranking training spends its whole
+    # gradient budget deflating it; teacher accuracy stuck ~0.5)
+    normalize: bool = False
 
     @classmethod
     def from_config(cls, config, pretrained=None):
@@ -33,6 +42,7 @@ class ColBert(Ranker):
             return_per_term=config.get("dynamic_teacher_per_term_scores", False)
             or config.get("colbert_per_term_scores", False),
             compute_dtype=jnp.bfloat16 if config.get("use_fp16", True) else jnp.float32,
+            normalize=config.get("colbert_normalize", False),
         )
 
     def setup(self):
@@ -41,6 +51,10 @@ class ColBert(Ranker):
 
     def encode(self, ids: jnp.ndarray, mask: jnp.ndarray, sequence_type: str = "n/a") -> jnp.ndarray:
         vecs = self.compressor(self.encoder(ids, mask))
+        if self.normalize:
+            vecs = vecs / jnp.maximum(
+                jnp.linalg.norm(vecs.astype(jnp.float32), axis=-1, keepdims=True), 1e-6
+            ).astype(vecs.dtype)
         if sequence_type in ("doc_encode", "query_encode"):
             vecs = vecs * mask[..., None]
         return vecs

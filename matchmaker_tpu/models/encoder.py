@@ -95,6 +95,22 @@ class EncoderConfig:
         )
         return cls(**{**defaults, **kw})
 
+    @classmethod
+    def mini(cls, **kw):
+        """4-layer/256-hidden encoder (~11M params) — the from-scratch tier.
+
+        Big transformers only rank well after real pretraining; from a weak
+        warmstart a DistilBERT-size tower stays at chance on ranking triples
+        for thousands of steps (measured: teacher acc ~0.5 after 2.8k steps at
+        every stable lr). Recipes that must BOOTSTRAP their own encoder (the
+        planted TAS-B proxy, zero-egress environments) use this tier; real
+        pretrained checkpoints use distilbert/bert_base."""
+        defaults = dict(
+            hidden_size=256, num_layers=4, num_heads=4,
+            intermediate_size=1024, max_position_embeddings=512,
+        )
+        return cls(**{**defaults, **kw})
+
 
 class _AttnParams(nn.Module):
     """Bare kernel+bias holder matching one DenseGeneral's param names.
@@ -385,6 +401,8 @@ def encoder_config_from_model_name(config) -> EncoderConfig:
         cfg = load_hf_encoder_config(name)
     elif "tiny" in name:
         cfg = EncoderConfig.tiny()
+    elif "mini" in name:
+        cfg = EncoderConfig.mini()
     elif "distilbert" in name:
         cfg = EncoderConfig.distilbert()
     else:

@@ -189,3 +189,44 @@ def test_bert_dot_inbatch_training_step(rng, eight_devices):
     new_params, _, stats = step(params, opt_state, device_batch)
     assert np.isfinite(float(np.asarray(stats["loss"])))
     assert "inbatch_loss" in stats
+
+def test_score_normalization_flags(rng):
+    """colbert_normalize / bert_dot_normalize: unit-norm scoring vectors
+    (cosine scoring — the original ColBERT formulation; the reference ships
+    it commented out, colbert.py:62-63), identical param trees to the
+    unnormalized models, score still the dot of the returned vectors."""
+    from matchmaker_tpu.models.bert_dot import BertDot
+    from matchmaker_tpu.models.colbert import ColBert
+
+    batch = _indep_batch(rng)
+
+    model = BertDot(encoder_cfg=EncoderConfig.tiny(), return_vecs=True,
+                    compute_dtype=jnp.float32, normalize=True)
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    out = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.linalg.norm(out["query_vecs"], axis=-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(out["doc_vecs"], axis=-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(
+        out["score"], np.einsum("bd,bd->b", out["query_vecs"], out["doc_vecs"]), rtol=1e-4
+    )
+    # same param tree as the unnormalized model (checkpoint compatible)
+    base = BertDot(encoder_cfg=EncoderConfig.tiny(), return_vecs=True, compute_dtype=jnp.float32)
+    base_params = base.init(jax.random.PRNGKey(0), batch)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(base_params)
+
+    cb = ColBert(encoder_cfg=EncoderConfig.tiny(), compression_dim=16,
+                 return_vecs=True, compute_dtype=jnp.float32, normalize=True)
+    cparams = cb.init(jax.random.PRNGKey(1), batch)["params"]
+    cout = cb.apply({"params": cparams}, batch)
+    norms = np.linalg.norm(np.asarray(cout["query_vecs"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+    # per-token cosine in [-1, 1] -> |MaxSim| bounded by live query tokens
+    assert (np.abs(np.asarray(cout["score"])) <= batch["query_mask"].sum(1) + 1e-4).all()
+    # packed-triple forward agrees with two-apply under normalization
+    pos_out, neg_out = cb.apply({"params": cparams}, {
+        "query_ids": batch["query_ids"], "query_mask": batch["query_mask"],
+        "doc_pos_ids": batch["doc_ids"], "doc_pos_mask": batch["doc_mask"],
+        "doc_neg_ids": batch["doc_ids"], "doc_neg_mask": batch["doc_mask"],
+    }, method="forward_triple")
+    np.testing.assert_allclose(pos_out["score"], cout["score"], rtol=1e-4)
+    np.testing.assert_allclose(neg_out["score"], cout["score"], rtol=1e-4)
