@@ -22,8 +22,12 @@ in for "pretrained DistilBERT": the encoder enters student training with
 language structure learned from the corpus rather than a random init, which
 is the role pretraining plays in the recipe. Every OTHER component is the
 real production surface at real scale (100k docs by default). The real-data
-runbook is docs/msmarco_runbook.md; regression floors live in
-tests/test_effectiveness.py (tasb marker).
+runbook is docs/msmarco_runbook.md.
+
+Executed on a real v5e chip (round 4, RECIPE_RESULT_r4.json): teacher
+pairwise accuracy 1.000, 50 genuine TAS clusters, student **MRR@10 0.820 /
+Recall@100 0.99 over 100k docs** (planted ceiling 1.0), ~14 min wall-clock
+end to end with the defaults below.
 
 Runs on CPU (virtual mesh) or a real TPU chip unchanged.
 """
@@ -57,7 +61,7 @@ def run_recipe(
     mlm_steps: int = 1000,
     teacher_epochs: int = 10,
     tas_batches_per_epoch: int = 300,
-    student_epochs: int = 2,
+    student_epochs: int = 6,
     batch_size: int = 64,
     n_clusters: int = 50,
     teacher_lr: float = 3e-4,
@@ -187,6 +191,11 @@ def run_recipe(
     teacher_cfg = Config(auto_fill({
         **base,
         "model": "colbert",
+        # cosine MaxSim (original-ColBERT normalization): a ranknet-trained
+        # teacher's raw-dot scale is unanchored (measured margins ~150 —
+        # Margin-MSE then forces the student to chase huge targets and
+        # diverges); unit token vectors bound the targets to O(query length)
+        "colbert_normalize": True,
         "colbert_compression_dim": 128,
         "train_tsv": paths["train_tsv"],
         "batch_size_train": batch_size,
@@ -388,7 +397,7 @@ def main() -> int:
     ap.add_argument("--mlm-steps", type=int, default=1000)
     ap.add_argument("--teacher-epochs", type=int, default=10)
     ap.add_argument("--tas-batches", type=int, default=300)
-    ap.add_argument("--student-epochs", type=int, default=2)
+    ap.add_argument("--student-epochs", type=int, default=6)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--index-type", default="scann")
     ap.add_argument("--teacher-lr", type=float, default=3e-4)
