@@ -46,21 +46,28 @@ def main():
                     help="int8 token corpus (MXU double-rate + half HBM traffic)")
     ap.add_argument("--q-chunk", type=int, default=256,
                     help="query rows per kernel launch (corpus sweeps = flat_q/q_chunk)")
+    ap.add_argument("--per-bin", type=int, default=2,
+                    help="binmax candidates per 128-row bin (1 = skip the rank-2 pass)")
+    ap.add_argument("--tile-rows", type=int, default=2048)
     args = ap.parse_args()
     print(f"[colbert-bench] device={jax.devices()[0]} tokens={args.token_rows} "
           f"B={args.batch} Lq={args.query_len} k={args.cands} "
           f"int8={args.int8} q_chunk={args.q_chunk}", flush=True)
 
-    grain = padding_grain()
+    grain = padding_grain(args.tile_rows, args.per_bin)
     n_pad = -(-args.token_rows // grain) * grain
     if args.int8:
-        # ColBERT token vectors are L2-normalized (cosine MaxSim) — per-row
-        # absmax int8 is near-lossless there; synthetic stand-in here
+        # ColBERT token vectors are L2-normalized (cosine MaxSim) — absmax
+        # int8 is near-lossless there; scales are per 128-row bin (the
+        # kernel's dequant granularity). Synthetic stand-in here
         def make(key):
             v = jax.random.normal(key, (n_pad, args.dim), jnp.float32)
             v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
-            s = jnp.maximum(jnp.abs(v).max(axis=1, keepdims=True) / 127.0, 1e-10)
-            return jnp.clip(jnp.round(v / s), -127, 127).astype(jnp.int8), s
+            s = jnp.maximum(
+                jnp.abs(v).reshape(-1, 128, args.dim).max(axis=(1, 2), keepdims=False)
+                / 127.0, 1e-10)[:, None]
+            vq = jnp.clip(jnp.round(v / jnp.repeat(s[:, 0], 128)[:, None]), -127, 127)
+            return vq.astype(jnp.int8), s
         corpus, cscales = jax.jit(make)(jax.random.PRNGKey(0))
         jax.block_until_ready((corpus, cscales))
     else:
@@ -76,7 +83,8 @@ def main():
     def search(q, seed, c):
         vals, ids = binmax_scan_topk(
             q + seed * 1e-12, c, args.cands, n_valid=args.token_rows,
-            corpus_scales=cscales, q_chunk=args.q_chunk)
+            corpus_scales=cscales, q_chunk=args.q_chunk,
+            per_bin=args.per_bin, tile_rows=args.tile_rows)
         return vals.sum() + (ids.sum() % 2).astype(jnp.float32)
 
     t0 = time.time()
@@ -99,7 +107,9 @@ def main():
     from matchmaker_tpu.retrieval.colbert_search import aggregate_maxsim_batch
 
     vals, ids = jax.jit(lambda q, c: binmax_scan_topk(
-        q, c, args.cands, n_valid=args.token_rows))(queries, corpus)
+        q, c, args.cands, n_valid=args.token_rows,
+        corpus_scales=cscales, q_chunk=args.q_chunk,
+        per_bin=args.per_bin, tile_rows=args.tile_rows))(queries, corpus)
     scores = np.asarray(vals).reshape(args.batch, args.query_len, args.cands)
     idx = (np.asarray(ids) // 8).reshape(args.batch, args.query_len, args.cands)  # ~8 tok/doc
     mask = np.ones((args.batch, args.query_len), np.float32)

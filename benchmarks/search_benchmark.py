@@ -308,10 +308,11 @@ def main():
                 t=tile), (bf16_corpus,))
     if "binmax_int8" in configs:
         # fused int8 candidate kernel: MXU double-rate int8 dots at half the
-        # HBM corpus traffic. Rows here are L2-normalized so per-row scales
-        # are the constant global scale; real corpora get true per-row absmax
-        # scales from FlatIndex (mips_quantization: int8 + mips_kernel: binmax)
-        cscales = jnp.full((values.shape[0], 1), float(scale), jnp.float32)
+        # HBM corpus traffic. Rows here are L2-normalized so the per-128-row
+        # bin scales are the constant global scale; real corpora get absmax
+        # bin scales from FlatIndex (mips_quantization: int8 + mips_kernel:
+        # binmax, quantize_corpus_binwise)
+        cscales = jnp.full((values.shape[0] // 128, 1), float(scale), jnp.float32)
         run("binmax_int8", lambda q, v, s: binmax_scan_topk(
             q, v, args.k, n_valid=args.rows, corpus_scales=s), (values, cscales))
     if "twostage_int8" in configs:

@@ -97,8 +97,19 @@ def run(mode: str, config, run_folder: str) -> int:
         )
 
     # ---- phase 2: index --------------------------------------------------
+    from matchmaker_tpu.config import model_base_name as _mbn
+
+    index_cfg = dict(config)
+    if _mbn(config.get("model", "")) == "colbert":
+        # measured ColBERT token-index operating point (benchmarks/
+        # colbert_benchmark.py, round 4): the 64-candidate pool oversamples
+        # per-token k by >100x, so the rank-2 tournament pass is pure
+        # overhead — per_bin=1 + 4096-row tiles: 6.2k vs 4.6k composite QPS
+        # over 1M token vectors. YAML keys still override.
+        index_cfg.setdefault("mips_per_bin", 1)
+        index_cfg.setdefault("mips_tile_rows", 4096)
     index_folder = os.path.join(run_folder, "index")
-    indexer = build_index(config, mesh)
+    indexer = build_index(index_cfg, mesh)
     if "index" in mode:
         perf.start_block("indexing")
         from matchmaker_tpu.retrieval.indexes import StreamingFlatIndex
@@ -150,7 +161,11 @@ def run(mode: str, config, run_folder: str) -> int:
                 indexer,
                 qset["queries_tsv"],
                 top_n=qset.get("top_n", 100),
-                per_token_candidates=config.get("colbert_per_token_candidates", 64),
+                # 48 candidates/token: the merge's (C, C) equality mask is
+                # quadratic in Lq·K — 48 vs 64 measures composite 6.2k vs
+                # 5.2k QPS at equal per-token oversampling class (any
+                # truncation is recovered by colbert_rescore_n exact MaxSim)
+                per_token_candidates=config.get("colbert_per_token_candidates", 48),
                 rescore_store=rescore_store,
                 rescore_n=rescore_n,
                 # on-device segmented max-sum merge (7x the host merge on

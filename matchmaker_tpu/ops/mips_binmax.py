@@ -247,10 +247,18 @@ def _binmax_kernel(q_ref, c_ref, val_ref, *, tile_rows, n_valid, per_bin):
 def _binmax_kernel_int8(q_ref, c_ref, cs_ref, qs_ref, val_ref, *, tile_rows,
                         n_valid, per_bin):
     """Int8 corpus variant: int8×int8→int32 on the MXU's double-rate path
-    (halves HBM corpus traffic too), dequantized to f32 scores with the
-    rank-1 outer product of per-row scales before the bin-max tournament.
-    At D ≤ 2^7 the raw int32 dot is ≤ 127·127·D < 2^24, so the f32 cast is
-    EXACT and the mantissa-packing noise argument is unchanged."""
+    (halves HBM corpus traffic too), dequantized to f32 scores before the
+    bin-max tournament. At D ≤ 2^7 the raw int32 dot is ≤ 127·127·D < 2^24,
+    so the f32 cast is EXACT and the mantissa-packing noise argument is
+    unchanged.
+
+    Dequant scales are PER 128-ROW BIN (``cs_ref`` (T/128, 1)), not per row:
+    a (T, 1) per-row block is lane-padded ×128 by Mosaic — 1 MB of HBM
+    traffic per 256 KB int8 corpus tile, which made the first per-row cut
+    measure SLOWER than bf16 (5.5k vs 6.2k QPS on the ColBERT workload).
+    FlatIndex row-permutes the corpus, so bins are i.i.d. samples and the
+    bin absmax is statistically the row absmax's envelope; normalized
+    corpora (ColBERT tokens, cosine bert_dot) lose nothing."""
     i = pl.program_id(0)
     raw = jax.lax.dot_general(
         c_ref[...],
@@ -258,7 +266,10 @@ def _binmax_kernel_int8(q_ref, c_ref, cs_ref, qs_ref, val_ref, *, tile_rows,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (T, Q) int32
-    scores_t = raw.astype(jnp.float32) * cs_ref[...] * qs_ref[...]
+    nb = raw.shape[0] // BIN_WIDTH
+    q = raw.shape[1]
+    scores3 = raw.astype(jnp.float32).reshape(nb, BIN_WIDTH, q) * cs_ref[...][:, :, None]
+    scores_t = scores3.reshape(nb * BIN_WIDTH, q) * qs_ref[...]
     val_ref[...] = _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
 
 
@@ -348,7 +359,7 @@ def binmax_candidates(
     interpret: Optional[bool] = None,
     q_chunk: int = 256,
     level2: Optional[int] = None,
-    corpus_scales: Optional[jnp.ndarray] = None,  # (N, 1) f32, int8 corpus only
+    corpus_scales: Optional[jnp.ndarray] = None,  # (N/128, 1) f32 bin scales, int8 only
     query_scales: Optional[jnp.ndarray] = None,  # (Q, 1) f32, int8 corpus only
 ) -> jnp.ndarray:
     """Per-bin top-``per_bin`` packed candidates over the whole corpus.
@@ -374,7 +385,9 @@ def binmax_candidates(
     int8_mode = corpus.dtype == jnp.int8
     if int8_mode:
         assert corpus_scales is not None and query_scales is not None, \
-            "int8 corpus needs corpus_scales (N,1) and query_scales (Q,1)"
+            "int8 corpus needs corpus_scales (N/128,1) bin scales and query_scales (Q,1)"
+        assert n % BIN_WIDTH == 0 and corpus_scales.shape[0] == n // BIN_WIDTH, \
+            "int8 corpus rows must be a bin multiple (quantize_corpus_binwise pads)"
     elif corpus.dtype != jnp.bfloat16:
         corpus = corpus.astype(jnp.bfloat16)
     # rows must give a 128-multiple candidate count (the transpose pass works
@@ -383,8 +396,9 @@ def binmax_candidates(
     grain = padding_grain(tile_rows, per_bin)
     if n % grain != 0:
         corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
-        if int8_mode:  # padded rows: scale 0 → score exactly 0, masked by n_valid
-            corpus_scales = jnp.pad(corpus_scales, ((0, grain - n % grain), (0, 0)))
+        if int8_mode:  # padded bins: scale 0 → score exactly 0, masked by n_valid
+            corpus_scales = jnp.pad(
+                corpus_scales, ((0, (grain - n % grain) // BIN_WIDTH), (0, 0)))
     if n_valid is None:
         n_valid = n
     n_pad = corpus.shape[0]
@@ -420,7 +434,7 @@ def binmax_candidates(
                 in_specs=[
                     pl.BlockSpec((qp, dim), lambda i: (0, 0)),
                     pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
-                    pl.BlockSpec((tile_rows, 1), lambda i: (i, 0)),
+                    pl.BlockSpec((tile_rows // BIN_WIDTH, 1), lambda i: (i, 0)),
                     pl.BlockSpec((1, qp), lambda i: (0, 0)),
                 ],
                 out_specs=pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
@@ -481,12 +495,14 @@ def binmax_candidates_jnp(
     if n % grain != 0:
         corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
         if int8_mode:
-            corpus_scales = jnp.pad(corpus_scales, ((0, grain - n % grain), (0, 0)))
+            corpus_scales = jnp.pad(
+                corpus_scales, ((0, (grain - n % grain) // BIN_WIDTH), (0, 0)))
     if n_valid is None:
         n_valid = n
     qb = queries if int8_mode else queries.astype(jnp.bfloat16)
     blocks = corpus.reshape(-1, tile_rows, dim)
-    sblocks = (corpus_scales.astype(jnp.float32).reshape(-1, tile_rows, 1)
+    nb_t = tile_rows // BIN_WIDTH
+    sblocks = (corpus_scales.astype(jnp.float32).reshape(-1, nb_t, 1)
                if int8_mode else jnp.zeros((blocks.shape[0], 1, 1)))
     qs_t = (query_scales.astype(jnp.float32).reshape(1, -1)
             if int8_mode else None)
@@ -498,7 +514,9 @@ def binmax_candidates_jnp(
                 blk, qb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            scores_t = raw.astype(jnp.float32) * sblk * qs_t
+            qn = raw.shape[1]
+            scores3 = raw.astype(jnp.float32).reshape(nb_t, BIN_WIDTH, qn) * sblk[:, :, None]
+            scores_t = scores3.reshape(tile_rows, qn) * qs_t
         else:
             scores_t = jax.lax.dot_general(
                 blk.astype(jnp.bfloat16), qb, (((1,), (1,)), ((), ())),
@@ -563,7 +581,8 @@ def binmax_scan_topk(
     Drop-in for :func:`ops.mips_f16.f16_scan_topk` (approx mode); same
     (values, int32 ids) contract, ids offset by ``index_offset`` for sharding.
     Id extraction is gather-free (mantissa packing, see module docstring).
-    An int8 corpus (``corpus_scales`` (N, 1) f32 required) runs the MXU's
+    An int8 corpus (``corpus_scales`` (N/128, 1) f32 bin scales from
+    :func:`ops.mips_quant.quantize_corpus_binwise`) runs the MXU's
     double-rate int8 path at half the HBM traffic; float queries are
     per-row-quantized here inside the jit.
 
@@ -636,7 +655,7 @@ def sharded_binmax_topk(
     mesh: Optional[Mesh] = None,
     axis="data",  # a mesh axis name or a tuple of names (multi-host (dcn, ici))
     n_valid: Optional[int] = None,
-    corpus_scales: Optional[jnp.ndarray] = None,  # (N, 1) f32 with an int8 corpus
+    corpus_scales: Optional[jnp.ndarray] = None,  # (N/128, 1) f32 bin scales, int8 corpus
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mesh-sharded fused scan: per-chip kernel + one (Q, k·shards) ICI merge —

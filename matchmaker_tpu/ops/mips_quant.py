@@ -181,3 +181,29 @@ def sharded_quantized_topk(
     part_vals, part_idx = per_shard(queries, values, scales)
     vals, pos = jax.lax.top_k(part_vals, k)
     return vals, jnp.take_along_axis(part_idx, pos, axis=1)
+
+
+def quantize_corpus_binwise(
+    vectors: np.ndarray, bin_width: int = 128
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) float → (int8 values padded to a bin multiple, (N'/bin_width, 1)
+    f32 bin scales) for the fused int8 binmax kernel (ops/mips_binmax.py).
+
+    One absmax scale per ``bin_width`` consecutive rows: a per-row (T, 1)
+    scale block is lane-padded ×128 in VMEM (4 bytes/row → 512 bytes/row of
+    HBM traffic, 4× the int8 row itself), so per-row dequant made the int8
+    kernel measure SLOWER than bf16. FlatIndex row-permutes the corpus before
+    indexing, making each bin an i.i.d. sample — the bin absmax is then a
+    tight envelope of the row absmax for any corpus without extreme norm
+    outliers (normalized corpora lose nothing)."""
+    vectors = np.asarray(vectors, dtype=np.float32)
+    n, d = vectors.shape
+    n_pad = -(-n // bin_width) * bin_width
+    if n_pad != n:
+        vectors = np.pad(vectors, ((0, n_pad - n), (0, 0)))
+    scales = np.abs(vectors).reshape(-1, bin_width, d).max(axis=(1, 2)) / 127.0
+    scales = np.maximum(scales, 1e-10).astype(np.float32)
+    values = np.clip(
+        np.round(vectors / np.repeat(scales, bin_width)[:, None]), -127, 127
+    ).astype(np.int8)
+    return values, scales.reshape(-1, 1)

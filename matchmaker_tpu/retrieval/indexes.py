@@ -98,6 +98,15 @@ class FlatIndex(BaseNNIndexer):
         self.twostage = config.get("mips_twostage", False)
         self.oversample = config.get("mips_oversample", 4)
         self.rescore_dtype = config.get("mips_rescore_dtype", "int8")  # int8|float16
+        # binmax geometry overrides for workload tuning (None = adaptive
+        # defaults). ColBERT per-token search (k=64 per token over wide
+        # (B·Lq)-row query batches) measures best at mips_per_bin=1 +
+        # mips_tile_rows=4096 (+8% — the 128x-oversampled pool makes the
+        # rank-2 tournament pass pure overhead); the flagship k=1000 document
+        # search keeps the adaptive per_bin>=2 recall envelope
+        self.per_bin_override = config.get("mips_per_bin")
+        self.tile_rows_override = config.get("mips_tile_rows")
+        self.q_chunk_override = config.get("mips_q_chunk")
         self._vectors: Optional[np.ndarray] = None
         self._ids: Optional[np.ndarray] = None
         self._device_vectors = None
@@ -140,7 +149,9 @@ class FlatIndex(BaseNNIndexer):
         if (self.f16_scan or self.quantized) and self.mips_kernel == "binmax":
             from matchmaker_tpu.ops.mips_binmax import padding_grain
 
-            grain = n_shards * padding_grain()  # 8192: covers per_bin 2/4/8
+            tile = self.tile_rows_override or 2048
+            pbs = [self.per_bin_override] if self.per_bin_override else [2, 4, 8]
+            grain = n_shards * max(padding_grain(tile, pb) for pb in pbs)
         else:
             grain = n_shards
         pad_to = grain * ((vectors.shape[0] + grain - 1) // grain)
@@ -153,14 +164,18 @@ class FlatIndex(BaseNNIndexer):
 
         if self.quantized and self.mips_kernel == "binmax" and not self.twostage:
             # int8 × fused binmax: the MXU's double-rate int8 path at half the
-            # HBM corpus traffic, feeding the same bin-max tournament (per-row
-            # dequant scales applied in-kernel). ~2x the bf16 binmax scan.
+            # HBM corpus traffic, feeding the same bin-max tournament. Dequant
+            # scales are per 128-row bin (rows are permuted → bins i.i.d.);
+            # per-row scales cost 4× the int8 row itself in lane-padded VMEM
+            # traffic and measured SLOWER than bf16.
             from matchmaker_tpu.ops.mips_binmax import sharded_binmax_topk
-            from matchmaker_tpu.ops.mips_quant import quantize_corpus, sharded_quantized_topk
+            from matchmaker_tpu.ops.mips_quant import (
+                quantize_corpus_binwise, sharded_quantized_topk,
+            )
 
-            values, scales = quantize_corpus(vectors, per_row=True)
+            values, bin_scales = quantize_corpus_binwise(vectors)
             dv = jnp.asarray(values)
-            ds = jnp.asarray(scales.reshape(-1, 1))
+            ds = jnp.asarray(bin_scales)
             if self.mesh is not None and n_shards > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -168,6 +183,10 @@ class FlatIndex(BaseNNIndexer):
                 ds = jax.device_put(ds, NamedSharding(self.mesh, P(axes, None)))
             self._device_vectors = (dv, ds, None)
             row_count = self._row_count
+            geom = {k_: v for k_, v in (
+                ("tile_rows", self.tile_rows_override), ("q_chunk", self.q_chunk_override),
+            ) if v}
+            per_bin_override = self.per_bin_override
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def search_fn(queries, corpus, k):
@@ -176,12 +195,16 @@ class FlatIndex(BaseNNIndexer):
                 if row_count // 128 * 8 >= 8 * k:
                     want = int(min(8, max(2, -(-8 * k * 128 // row_count))))
                     per_bin = 1 << (want - 1).bit_length()
+                    if per_bin_override and row_count // 128 * per_bin_override >= 8 * k:
+                        per_bin = per_bin_override  # still >=8x oversampled
                     return sharded_binmax_topk(
                         queries, values, k, mesh=mesh, axis=axes, n_valid=row_count,
-                        per_bin=per_bin, corpus_scales=scales,
+                        per_bin=per_bin, corpus_scales=scales, **geom,
                     )
+                # exact int8 scan fallback: expand bin scales to per-row
+                row_scales = jnp.repeat(scales[:, 0], 128)[: values.shape[0]]
                 return sharded_quantized_topk(
-                    queries, values, scales[:, 0], k, mesh=mesh, axis=axes,
+                    queries, values, row_scales, k, mesh=mesh, axis=axes,
                     block_size=block, approx=False, n_valid=row_count,
                 )
 
@@ -244,6 +267,10 @@ class FlatIndex(BaseNNIndexer):
             approx, recall = self.approx, self.recall_target
             scan_block = self.block_size if vectors.shape[0] > self.block_size else None
             row_count = self._row_count
+            geom = {k_: v for k_, v in (
+                ("tile_rows", self.tile_rows_override), ("q_chunk", self.q_chunk_override),
+            ) if v}
+            per_bin_override = self.per_bin_override
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def search_fn(queries, corpus, k):
@@ -265,9 +292,11 @@ class FlatIndex(BaseNNIndexer):
                     # (odd per_bin needs grain 16384 → in-jit corpus re-pad)
                     want = int(min(8, max(2, -(-8 * k * 128 // row_count))))
                     per_bin = 1 << (want - 1).bit_length()
+                    if per_bin_override and row_count // 128 * per_bin_override >= 8 * k:
+                        per_bin = per_bin_override  # still >=8x oversampled
                     return sharded_binmax_topk(
                         queries, corpus, k, mesh=mesh, axis=axes, n_valid=row_count,
-                        per_bin=per_bin,
+                        per_bin=per_bin, **geom,
                     )
                 from matchmaker_tpu.ops.mips_f16 import sharded_f16_scan_topk
 
@@ -603,7 +632,7 @@ class IVFIndex(BaseNNIndexer):
             "s_rows": s_rows,
         }
 
-    def _search_sharded(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _search_rows_sharded(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
         from jax.sharding import PartitionSpec as P
 
         self._ensure_sharded()
@@ -701,11 +730,16 @@ class IVFIndex(BaseNNIndexer):
             padw = top_n - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, padw)), constant_values=-np.inf)
             rows = np.pad(rows, ((0, 0), (0, padw)), constant_values=-1)
-        return gather_ids(self._ids, rows, len(self._ids), vals)
+        return vals, rows
 
-    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search_rows(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`search` but returns RAW original-row indices (int, -1
+        invalid) — the integer fast path ColBERT's per-token merge consumes
+        (same contract as FlatIndex.search_rows), which makes the IVF index a
+        drop-in candidate generator for late-interaction retrieval (the
+        PLAID-style centroid-pruned alternative to the exhaustive scan)."""
         if self._n_shards() > 1:
-            return self._search_sharded(queries, top_n)
+            return self._search_rows_sharded(queries, top_n)
         q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
         centroids = jnp.asarray(self._centroids, dtype=jnp.float32)
         # corpus stays in its STORAGE dtype on device (f16 default: 13.7 GB at
@@ -777,7 +811,16 @@ class IVFIndex(BaseNNIndexer):
             pad = top_n - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
             rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+        return vals, rows
+
+    def search(self, queries: np.ndarray, top_n: int) -> Tuple[np.ndarray, np.ndarray]:
+        vals, rows = self.search_rows(queries, top_n)
         return gather_ids(self._ids, rows, len(self._ids), vals)
+
+    @property
+    def row_ids(self) -> np.ndarray:
+        """Sequence id per ORIGINAL corpus row (aligns with search_rows)."""
+        return self._ids
 
     def storage_bytes(self) -> int:
         """Index memory footprint (CSR: ~the flat corpus footprint)."""

@@ -379,22 +379,22 @@ def test_binmax_int8_pallas_matches_jnp():
         binmax_scan_topk,
         unpack_candidates,
     )
-    from matchmaker_tpu.ops.mips_quant import quantize_corpus
+    from matchmaker_tpu.ops.mips_quant import quantize_corpus_binwise
 
     rng = np.random.default_rng(21)
     n, d, q, k = 3000, 32, 7, 8  # padding path (3000 % grain != 0)
     corpus_f = rng.normal(size=(n, d)).astype(np.float32)
-    values, scales = quantize_corpus(corpus_f, per_row=True)
+    values, bscales = quantize_corpus_binwise(corpus_f)  # pads to 3072
     corpus = jnp.asarray(values)
-    cscales = jnp.asarray(scales.reshape(-1, 1))
+    cscales = jnp.asarray(bscales)
     queries_f = rng.normal(size=(q, d)).astype(np.float32)
     q_scale = np.maximum(np.abs(queries_f).max(axis=1, keepdims=True) / 127.0, 1e-10)
     q_int = jnp.asarray(np.clip(np.round(queries_f / q_scale), -127, 127).astype(np.int8))
     qs = jnp.asarray(q_scale.astype(np.float32))
 
-    p1 = binmax_candidates(q_int, corpus, interpret=True, tile_rows=512,
+    p1 = binmax_candidates(q_int, corpus, interpret=True, tile_rows=512, n_valid=n,
                            corpus_scales=cscales, query_scales=qs)
-    p2 = binmax_candidates_jnp(q_int, corpus, tile_rows=512,
+    p2 = binmax_candidates_jnp(q_int, corpus, tile_rows=512, n_valid=n,
                                corpus_scales=cscales, query_scales=qs)
     cols = jnp.broadcast_to(jnp.arange(p1.shape[1]), p1.shape)
     v1, i1 = map(np.asarray, unpack_candidates(p1, cols, 512, 2))
@@ -413,7 +413,7 @@ def test_binmax_int8_pallas_matches_jnp():
 
     # scan_topk quantizes float queries itself; near-exact top-k
     tv, ti = binmax_scan_topk(jnp.asarray(queries_f), corpus, k=k, tile_rows=512,
-                              use_pallas=False, corpus_scales=cscales)
+                              n_valid=n, use_pallas=False, corpus_scales=cscales)
     exact = np.argsort(-true, axis=1)[:, :k]
     for r in range(q):
         assert len(set(map(int, np.asarray(ti)[r])) & set(map(int, exact[r]))) >= k - 2
@@ -423,15 +423,15 @@ def test_sharded_binmax_int8_matches_single_device(eight_devices):
     """Int8 sharded binmax == single-device int8 binmax (scales shard with
     the rows; in-shard padding masked)."""
     from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk, sharded_binmax_topk
-    from matchmaker_tpu.ops.mips_quant import quantize_corpus
+    from matchmaker_tpu.ops.mips_quant import quantize_corpus_binwise
     from matchmaker_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(22)
     n, d, k = 8 * 384, 32, 16
     corpus_f = rng.normal(size=(n, d)).astype(np.float32)
-    values, scales = quantize_corpus(corpus_f, per_row=True)
+    values, bscales = quantize_corpus_binwise(corpus_f)
     corpus = jnp.asarray(values)
-    cscales = jnp.asarray(scales.reshape(-1, 1))
+    cscales = jnp.asarray(bscales)
     queries = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
     mesh = make_mesh()
 
