@@ -308,13 +308,26 @@ def main():
                 t=tile), (bf16_corpus,))
     if "binmax_int8" in configs:
         # fused int8 candidate kernel: MXU double-rate int8 dots at half the
-        # HBM corpus traffic. Rows here are L2-normalized so the per-128-row
-        # bin scales are the constant global scale; real corpora get absmax
-        # bin scales from FlatIndex (mips_quantization: int8 + mips_kernel:
-        # binmax, quantize_corpus_binwise)
-        cscales = jnp.full((values.shape[0] // 128, 1), float(scale), jnp.float32)
+        # HBM corpus traffic, absmax bin scales exactly like FlatIndex's
+        # production path (quantize_corpus_binwise). The build_corpus int8
+        # buffer's global 1/127 scale assumes |x| <= 1 while normalized
+        # 768-dim rows peak at ~0.15 — 2.7 wasted bits that measured
+        # recall@1000 0.912; true bin absmax restores the envelope.
+        if rescore is not None:
+            v8, bscales = None, None
+            from matchmaker_tpu.ops.mips_quant import quantize_corpus_binwise
+
+            host = np.asarray(rescore, dtype=np.float32)
+            v8_np, bs_np = quantize_corpus_binwise(host)
+            del host
+            v8 = jnp.asarray(v8_np)
+            cscales = jnp.asarray(bs_np)
+            jax.block_until_ready(v8)
+        else:
+            v8 = values
+            cscales = jnp.full((values.shape[0] // 128, 1), float(scale), jnp.float32)
         run("binmax_int8", lambda q, v, s: binmax_scan_topk(
-            q, v, args.k, n_valid=args.rows, corpus_scales=s), (values, cscales))
+            q, v, args.k, n_valid=args.rows, corpus_scales=s), (v8, cscales))
     if "twostage_int8" in configs:
         run("twostage_int8", lambda q, v, s: twostage_exact_topk(
             q, v, s, args.k, oversample=args.oversample, block_size=args.block,
