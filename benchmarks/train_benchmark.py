@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fused", action="store_true",
                     help="fused whole-layer Pallas kernels incl. custom-VJP backward")
+    ap.add_argument("--block-b", type=int, default=8,
+                    help="fused-kernel batch tile (rows per grid step)")
+    ap.add_argument("--ff-chunks", type=int, default=4,
+                    help="FF-dim chunks in the fused MLP kernels")
     args = ap.parse_args()
 
     from matchmaker_tpu.losses import get_loss
@@ -53,7 +57,9 @@ def main():
         "optimizer_warmup_steps": 1000,
         "learning_rate": 7e-6,
     }
-    enc_cfg = EncoderConfig.distilbert(fused_attention=args.fused)
+    enc_cfg = EncoderConfig.distilbert(fused_attention=args.fused,
+                                       fused_block_b=args.block_b,
+                                       fused_ff_chunks=args.ff_chunks)
     model = BertDot(encoder_cfg=enc_cfg, return_vecs=True,
                     compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

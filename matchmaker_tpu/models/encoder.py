@@ -77,6 +77,11 @@ class EncoderConfig:
     # keep the bf16 kernels (the int8 kernels are forward-only).
     int8_mlp: bool = False
     int8_attention: bool = False
+    # Fused-kernel tile geometry (batch rows per grid step / FF-dim chunks of
+    # the training MLP kernels) — sweepable via `encoder_fused_block_b` /
+    # `encoder_fused_ff_chunks` and benchmarks/train_benchmark.py
+    fused_block_b: int = 8
+    fused_ff_chunks: int = 4
 
     @classmethod
     def distilbert(cls, **kw):
@@ -174,6 +179,7 @@ class FusedMHABlock(nn.Module):
     ln_eps: float = 1e-12
     compute_dtype: jnp.dtype = jnp.bfloat16
     int8_projections: bool = False  # inference-only int8 Q/K/V/out dots
+    fused_block_b: int = 8  # training-backward batch tile (EncoderConfig)
 
     @nn.compact
     def __call__(self, x, key_mask, ln_scale, ln_bias, deterministic=True):
@@ -225,7 +231,8 @@ class FusedMHABlock(nn.Module):
             # ops/fused_backward.py) — training runs the fused kernels too.
             # Attention-prob dropout is a no-op on the fused path (documented
             # trade; the off-TPU non-deterministic branch below matches).
-            return fused_attention_block_train(*args, ln_eps=self.ln_eps)
+            return fused_attention_block_train(*args, ln_eps=self.ln_eps,
+                                               block_b=self.fused_block_b)
         # off-TPU training fallback: same math in XLA (fast for CPU tests)
         return reference_attention_block(*args, ln_eps=self.ln_eps)
 
@@ -249,6 +256,7 @@ class EncoderLayer(nn.Module):
                 ln_eps=cfg.layer_norm_eps,
                 compute_dtype=self.compute_dtype,
                 int8_projections=cfg.int8_attention,
+                fused_block_b=cfg.fused_block_b,
                 name="attention",
             )(x, key_mask, ln_scale, ln_bias, deterministic)
         else:
@@ -299,7 +307,9 @@ class EncoderLayer(nn.Module):
                         ln2_scale, ln2_bias)
             if deterministic or _on_tpu():
                 # differentiable fused MLP half (custom VJP, fused_backward.py)
-                return fused_mlp_block_train(*mlp_args, ln_eps=cfg.layer_norm_eps)
+                return fused_mlp_block_train(
+                    *mlp_args, ln_eps=cfg.layer_norm_eps,
+                    block_b=cfg.fused_block_b, ff_chunks=cfg.fused_ff_chunks)
             return reference_mlp_block(*mlp_args, ln_eps=cfg.layer_norm_eps)
         h = nn.Dense(cfg.intermediate_size, dtype=self.compute_dtype, name="mlp_in")(x)
         h = nn.gelu(h, approximate=False)
@@ -424,4 +434,8 @@ def encoder_config_from_model_name(config) -> EncoderConfig:
         overrides["fused_attention"] = True
         overrides["int8_mlp"] = True
         overrides["int8_attention"] = True
+    if config.get("encoder_fused_block_b"):
+        overrides["fused_block_b"] = int(config["encoder_fused_block_b"])
+    if config.get("encoder_fused_ff_chunks"):
+        overrides["fused_ff_chunks"] = int(config["encoder_fused_ff_chunks"])
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
