@@ -25,9 +25,11 @@ def test_tasb_recipe_smoke(tmp_path, eight_devices):
     )
     assert out["QueriesRanked"] == 20
     # planted ceiling is MRR 1.0; random over 1200 docs is ~0.005 — the tiny
-    # budget must still land far above random
-    assert out["MRR@10"] is not None and out["MRR@10"] >= 0.15, out
-    assert out["Recall@100"] >= 0.4, out
+    # budget must land far above random (measured 0.31 / 0.90 round 4 after
+    # the topic-structured corpus + normalized teacher; floors leave slack
+    # for 20-query noise)
+    assert out["MRR@10"] is not None and out["MRR@10"] >= 0.2, out
+    assert out["Recall@100"] >= 0.6, out
     assert os.path.exists(tmp_path / "tasb_recipe_result.json")
     # every stage left its artifact
     for sub in ("mlm_run", "baseline_bert_dot", "colbert_teacher",
