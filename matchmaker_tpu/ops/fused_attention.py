@@ -331,11 +331,46 @@ def _gelu_exact(h):
     return 0.5 * h * (1.0 + _erf_poly(h * 0.7071067811865476))
 
 
+# Weighted-lstsq odd polynomial for erf(u) = u·P(u²) on |u| ≤ 3.4 (clamped;
+# erf(3.4) = 1 − 1.6e-6), fitted with |u|-weighting so the error lands where
+# gelu(z) = 0.5z(1+erf(z/√2)) divides it back out: max |gelu| error 1.4e-4
+# over ℝ in f32 Horner arithmetic — ~30x below one bf16 ulp at |gelu| = 1.
+# Unlike A&S 7.1.26 it needs NO exp and NO division (pure FMA chain), which
+# the fused-kernel probe (benchmarks/fused_kernel_probe.py) measured as the
+# dominant VPU cost of the MLP halves (gelu stub: fwd 4.33→3.90 ms,
+# bwd 9.33→8.33 ms per 256×200-row layer call).
+_ERF_FASTPOLY = (1.1268175, -0.37025923, 0.10513879, -0.021726243,
+                 0.0031725222, -0.00031579041, 2.0221069e-05,
+                 -7.4665718e-07, 1.2036946e-08)  # scaled: f32 Horner at the
+# clamp evaluates to 1.0 ± 5e-6, so gelu(|z|≫3.4·√2) leaks < 5e-6·|z|
+
+
+def _erf_fastpoly(u):
+    uc = jnp.clip(u, -3.4, 3.4)
+    v = uc * uc
+    p = jnp.full_like(v, _ERF_FASTPOLY[-1])
+    for c in _ERF_FASTPOLY[-2::-1]:
+        p = p * v + c
+    return p * uc
+
+
+def _gelu_poly(h):
+    """gelu to 1.4e-4 abs — exact at bf16 output precision, exp/div-free."""
+    return 0.5 * h * (1.0 + _erf_fastpoly(h * 0.7071067811865476))
+
+
+def _gelu_for(dtype):
+    """bf16 outputs get the FMA-only poly (error invisible under bf16
+    rounding); f32 paths (tests, interpret mode) keep the 1.5e-7 A&S form."""
+    return _gelu_poly if dtype == jnp.bfloat16 else _gelu_exact
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, o_ref,
                 *refs, ff_chunks, ln_eps):
     # *refs: optional acc_ref output (training forward residual, see
     # _block_kernel)
     xb = x_ref[...]
+    gelu = _gelu_for(xb.dtype)
     acc = xb.astype(jnp.float32) + b2_ref[...]
     ff = w1_ref.shape[1]
     ch = ff // ff_chunks
@@ -345,7 +380,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, o_ref,
             xb, w1_ref[...][:, sl], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[...][sl]
-        h = _gelu_exact(h).astype(xb.dtype)
+        h = gelu(h).astype(xb.dtype)
         acc = acc + jax.lax.dot_general(
             h, w2_ref[...][sl, :], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -43,8 +43,10 @@ from jax.experimental import pallas as pl
 
 from matchmaker_tpu.ops.fused_attention import (
     _GROUP_HEADS,
+    _erf_fastpoly,
     _erf_poly,
     _gelu_exact,
+    _gelu_for,
     _on_tpu,
     fused_attention_block,
     fused_mlp_block,
@@ -69,6 +71,18 @@ def _gelu_grad(z):
     cdf = 0.5 * (1.0 + _erf_poly(z * 0.7071067811865476))
     pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
     return cdf + z * pdf
+
+
+def _gelu_grad_poly(z):
+    """Φ via the FMA-only erf poly (bf16-exact); one exp remains for φ —
+    A&S needs two exps plus a division here."""
+    cdf = 0.5 * (1.0 + _erf_fastpoly(z * 0.7071067811865476))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+    return cdf + z * pdf
+
+
+def _gelu_grad_for(dtype):
+    return _gelu_grad_poly if dtype == jnp.bfloat16 else _gelu_grad
 
 
 def _wgrad(a, b):
@@ -122,6 +136,8 @@ def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
         dbe_ref[...] = jnp.zeros_like(dbe_ref)
 
     xb = x_ref[...]  # (Bb, L, H) bf16
+    gelu = _gelu_for(xb.dtype)
+    gelu_grad = _gelu_grad_for(xb.dtype)
     dy = dy_ref[...].astype(jnp.float32)
     ff = w1_ref.shape[1]
     ch = ff // ff_chunks
@@ -146,14 +162,14 @@ def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
     for c in range(ff_chunks):
         sl = slice(c * ch, (c + 1) * ch)
         z = z_chunk(sl)
-        hc = _gelu_exact(z).astype(xb.dtype)
+        hc = gelu(z).astype(xb.dtype)
         # dW2_c: (ch, H) — contract batch and length
         dw2_ref[sl, :] += _wgrad(hc, dacc_lp)
         dh = jax.lax.dot_general(
             dacc_lp, w2_ref[...][sl, :], (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dz = (dh * _gelu_grad(z)).astype(xb.dtype)
+        dz = (dh * gelu_grad(z)).astype(xb.dtype)
         dw1_ref[:, sl] += _wgrad(xb, dz)
         db1_ref[sl] += dz.astype(jnp.float32).sum(axis=(0, 1))
         dx = dx + jax.lax.dot_general(

@@ -15,7 +15,8 @@ theoretical encode ceiling of ~+40%. This kernel is `fused_mlp_block`
   next to the dots);
 - each dot accumulates in int32 and dequantizes with the rank-1 outer
   product of row scales × channel scales;
-- biases, exact-erf gelu, residual and the mlp LayerNorm stay in f32 inside
+- biases, gelu (FMA-only poly — exact at int8 re-quantization precision),
+  residual and the mlp LayerNorm stay in f32 inside
   the kernel, exactly like the bf16 variant (an XLA reduce over a
   custom-call result hits the slow layout-materialization fusion — the
   reason all norms live in-kernel).
@@ -40,7 +41,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from matchmaker_tpu.ops.fused_attention import _gelu_exact, _on_tpu
+# _gelu_poly: FMA-only gelu (1.4e-4 abs) — the int8 path quantizes the gelu
+# output to 7 bits right after, so the poly is invisible vs exact erf; the
+# fused-kernel probe measured the A&S exp/div as the MLP halves' VPU drag
+from matchmaker_tpu.ops.fused_attention import _gelu_poly, _on_tpu
 
 
 def quantize_weights_per_col(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -79,7 +83,7 @@ def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
             preferred_element_type=jnp.int32,
         )
         h = hi.astype(jnp.float32) * (rs * s1_ref[...][sl]) + b1_ref[...][sl]
-        h = _gelu_exact(h)
+        h = _gelu_poly(h)
         hq, hs = _quant_rows(h)
         oi = jax.lax.dot_general(
             hq, w2_ref[...][sl, :], (((2,), (0,)), ((), ())),
@@ -320,7 +324,7 @@ def reference_mlp_int8_block(x, w1q, s1, b1, w2q, s2, b2, ln_scale, ln_bias,
         hi = jax.lax.dot_general(xq, w1q[:, sl], (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         h = hi.astype(jnp.float32) * (rs * s1[None, None, sl]) + b1[sl]
-        h = _gelu_exact(h)
+        h = _gelu_poly(h)
         hq, hs = _quant_rows(h)
         oi = jax.lax.dot_general(hq, w2q[sl, :], (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)

@@ -347,3 +347,18 @@ def test_full_int8_encoder_config():
     b = o0.reshape(-1, o0.shape[-1]).astype(np.float64)
     cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
     assert cos.min() > 0.99, cos.min()
+
+
+def test_gelu_fastpoly_accuracy():
+    """The bf16-path gelu poly (FMA-only, no exp/div) must stay within
+    1.5x bf16-ulp-at-1.0 of exact erf-gelu everywhere, fwd and grad."""
+    from matchmaker_tpu.ops.fused_attention import _gelu_exact, _gelu_poly
+    from matchmaker_tpu.ops.fused_backward import _gelu_grad, _gelu_grad_poly
+
+    z = jnp.asarray(np.linspace(-12.0, 12.0, 100001), jnp.float32)
+    assert float(jnp.abs(_gelu_poly(z) - _gelu_exact(z)).max()) < 2e-4
+    assert float(jnp.abs(_gelu_grad_poly(z) - _gelu_grad(z)).max()) < 4e-4
+    # saturation: linear / zero far outside the clamp (coefficients scaled so
+    # the f32 Horner at the clamp is 1.0 ± 5e-6 — the leak is < 5e-6·|z|)
+    far = jnp.asarray([-50.0, 50.0], jnp.float32)
+    np.testing.assert_allclose(np.asarray(_gelu_poly(far)), [0.0, 50.0], atol=5e-4)
