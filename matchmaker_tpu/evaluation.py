@@ -293,8 +293,19 @@ def qa_evaluate(
     return qa_metric_battery(predictions, gold_answers), predictions
 
 
+def _primary_writer() -> bool:
+    """Multi-process launches keep ONE writer per run folder (process 0);
+    every process still *computes* metrics (replicated eval outputs) so
+    early stopping stays in lockstep — only the filesystem writes are gated."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def save_qa_answers(predictions: Dict[str, str], gold: Dict[str, List[str]], path: str) -> None:
     """``qid \\t predicted \\t gold...`` dump (reference eval.py:431-435)."""
+    if not _primary_writer():
+        return
     with open(path, "w", encoding="utf-8") as f:
         for qid, pred in predictions.items():
             if qid in gold:
@@ -305,6 +316,8 @@ def save_sorted_results(
     results: Dict[str, List[Tuple[str, float]]], path: str, until_rank: int = -1
 ) -> None:
     """4-col TREC-ish output: qid did rank score (reference eval.py:439-450)."""
+    if not _primary_writer():
+        return
     with open(path, "w", encoding="utf-8") as f:
         for qid, pairs in results.items():
             for rank, (did, score) in enumerate(
@@ -323,6 +336,8 @@ def save_secondary_output(
     With ``model_params``, small learned tensors (≤ max_param_size elements —
     TK mixer, kernel weights, gate biases, ...) are included under
     ``model::<path>`` keys, the reference's ``get_param_secondary`` dump."""
+    if not _primary_writer():
+        return
     flat = {}
     for pair_key, tensors in secondary.items():
         for name, arr in tensors.items():
@@ -339,6 +354,8 @@ def save_secondary_output(
 
 
 def _append_metrics_csv(path: str, metrics: Dict[str, float], epoch: int, batch_number: int) -> None:
+    if not _primary_writer():
+        return
     exists = os.path.exists(path)
     with open(path, "a", newline="", encoding="utf-8") as f:
         w = csv.writer(f)

@@ -278,11 +278,64 @@ def make_train_step(model, losses: LossBundle, tx: optax.GradientTransformation,
     return step
 
 
-def make_eval_step(model):
-    """Jitted scoring step for re-ranking evaluation."""
+def make_eval_step(model, mesh=None, data_sharding=None):
+    """Jitted scoring step for re-ranking evaluation.
+
+    Single-process (``mesh=None``): a plain jit — XLA places the batch.
+
+    Multi-process (``mesh`` + ``data_sharding``): every process calls the
+    returned step with the SAME full host batch (deterministic eval loaders
+    produce identical batch streams on every process); the step pads rows to
+    the global device count, feeds only THIS process's row slice via
+    ``jax.make_array_from_process_local_data``, and jits with **replicated
+    out_shardings** so XLA all-gathers the scores — every process reads the
+    full result with a host ``np.asarray`` and computes identical metrics
+    (keeps best-checkpoint selection + early stopping in lockstep across
+    hosts with no host-side gather code). This is the piece the reference's
+    single-box DataParallel never needed (eval.py:32-204 runs on one GPU)."""
 
     @partial(jax.jit, static_argnames=("output_secondary",))
     def step(params, batch, output_secondary: bool = False):
         return model.apply({"params": params}, batch, output_secondary)
 
-    return step
+    if mesh is None:
+        return step
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from matchmaker_tpu.parallel.multihost import process_shard_bounds
+
+    replicated = NamedSharding(mesh, P())
+    step_mp = jax.jit(
+        lambda params, batch, output_secondary=False: model.apply(
+            {"params": params}, batch, output_secondary
+        ),
+        static_argnames=("output_secondary",),
+        out_shardings=replicated,
+    )
+    n_dev = int(mesh.devices.size)
+
+    def mp_step(params, batch, output_secondary: bool = False):
+        rows = next(iter(batch.values())).shape[0]
+        padded = -(-rows // n_dev) * n_dev
+        lo, hi = process_shard_bounds(padded)
+        gbatch = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if padded != rows:
+                v = np.pad(v, [(0, padded - rows)] + [(0, 0)] * (v.ndim - 1))
+            gbatch[k] = jax.make_array_from_process_local_data(
+                data_sharding, np.ascontiguousarray(v[lo:hi])
+            )
+        out = step_mp(params, gbatch, output_secondary)
+
+        # replicated outputs are fully addressable on every process; trim the
+        # pad rows so callers see the original batch size
+        def trim(x):
+            a = np.asarray(x)
+            return a[:rows] if a.ndim >= 1 and a.shape[0] == padded else a
+
+        return jax.tree_util.tree_map(trim, out)
+
+    return mp_step

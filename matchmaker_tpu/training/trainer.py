@@ -48,12 +48,12 @@ class Trainer:
 
         self.n_processes = multihost.process_count()
         self.is_primary = multihost.is_primary()
-        if self.n_processes > 1 and config.get("validation_cont"):
+        if self.n_processes > 1 and config.get("save_train_state", False):
             raise ValueError(
-                "validation_cont under a multi-process launch is not supported "
-                "yet (eval outputs are host-gathered); run validation "
-                "single-process on the saved checkpoints instead "
-                "(docs/multihost_runbook.md)"
+                "save_train_state under a multi-process launch is not "
+                "supported (the orbax snapshot assumes one writer); resume "
+                "multi-host runs from best-model.flax via warmstart_model_path "
+                "instead (docs/multihost_runbook.md)"
             )
 
         self.mesh = make_mesh()
@@ -87,7 +87,14 @@ class Trainer:
 
         self.losses = get_loss(config)
         self.train_step = make_train_step(self.model, self.losses, self.tx, config)
-        self.eval_step = make_eval_step(self.model)
+        # multi-process: every process scores the full eval batch stream with
+        # a data-sharded forward + replicated outputs (see make_eval_step) so
+        # metrics/early-stopping stay in lockstep; file writes stay primary-only
+        self.eval_step = make_eval_step(
+            self.model,
+            mesh=self.mesh if self.n_processes > 1 else None,
+            data_sharding=self.batch_sharding if self.n_processes > 1 else None,
+        )
 
         self.early_stopping = EarlyStopping(
             patience=config.get("early_stopping_patience", 30), mode="max"
@@ -142,15 +149,16 @@ class Trainer:
         )
         if metric_value > self.best_metric:
             self.best_metric = metric_value
-            rotate_best(self.run_folder, self.config.get("store_n_best_checkpoints", 1))
-            save_params(os.path.join(self.run_folder, "best-model.flax"), self.params)
-            save_best_info(
-                self.run_folder,
-                self.config.get("validation_metric", "MRR@10"),
-                metric_value,
-                epoch,
-                self.global_step,
-            )
+            if self.is_primary:  # one writer per run folder; params replicated
+                rotate_best(self.run_folder, self.config.get("store_n_best_checkpoints", 1))
+                save_params(os.path.join(self.run_folder, "best-model.flax"), self.params)
+                save_best_info(
+                    self.run_folder,
+                    self.config.get("validation_metric", "MRR@10"),
+                    metric_value,
+                    epoch,
+                    self.global_step,
+                )
         if self.config.get("save_train_state", False):
             # full params+optimizer+step snapshot for true mid-run resume
             # (beyond the reference, which restarts eval-only — SURVEY.md §5.4)
@@ -364,10 +372,11 @@ class Trainer:
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices("matchmaker_train_end")
-            if self.is_primary:
-                save_params(
-                    os.path.join(self.run_folder, "best-model.flax"), self.params
-                )
+            best_path = os.path.join(self.run_folder, "best-model.flax")
+            if self.is_primary and not os.path.exists(best_path):
+                # no continuous validation ran → final params are the best we have;
+                # otherwise _validate already saved the best checkpoint
+                save_params(best_path, self.params)
             self.perf.save_summary(
                 os.path.join(self.run_folder, f"efficiency-metrics-p{jax.process_index()}.json")
             )

@@ -40,7 +40,8 @@ def main() -> int:
         "bert_pretrained_model": "tiny-test", "use_fp16": False,
         "max_query_length": 8, "max_doc_length": 16,
         "batch_size_train": 8,  # GLOBAL; 4 rows per process
-        "batch_size_eval": 8,
+        "batch_size_eval": 6,   # NOT divisible by the 8 devices: exercises the
+                                # eval step's pad-to-device-count row padding
         "epochs": 1,
         "loss": "ranknet",
         "in_batch_negatives": True,
@@ -50,7 +51,16 @@ def main() -> int:
         "param_group1_learning_rate": 1e-3,
         "optimizer_warmup_steps": 0,
         "lr_schedule": "constant",
-        "validate_every_n_batches": -1,
+        # continuous validation ACROSS the process boundary: every process
+        # scores the full tuple stream through the data-sharded eval step
+        # (replicated outputs), metrics/early-stopping run in lockstep, and
+        # only process 0 writes the run folder
+        "validate_every_n_batches": 2,
+        "validation_cont": {
+            "tsv": os.path.join(work_dir, "validation.tsv"),
+            "qrels": os.path.join(work_dir, "validation.qrels"),
+            "binarization_point": 1.0,
+        },
         "validation_metric": "MRR@10",
         "expirement_base_path": work_dir,
         "train_tsv": os.path.join(work_dir, "train.tsv"),
@@ -60,8 +70,11 @@ def main() -> int:
     # 32 triples → 8 local 4-row batches → strided into 4 global steps of
     # 8 global rows (each process contributes every other local batch)
     assert trainer.global_step == 4, (pid, trainer.global_step)
+    # every process computed the (identical, replicated) validation metrics
+    assert trainer.best_metric > 0.0, (pid, trainer.best_metric)
     if pid == 0:
         assert os.path.exists(os.path.join(run_folder, "best-model.flax"))
+        assert os.path.exists(os.path.join(run_folder, "validation-metrics-cont.csv"))
     print(f"[driver p{pid}] MULTIHOST_DRYRUN_OK steps={trainer.global_step}", flush=True)
     return 0
 

@@ -66,6 +66,17 @@ def test_two_process_cpu_dryrun(tmp_path):
         neg = "body " + " ".join(f"n{rng.integers(50)}" for _ in range(6))
         lines.append(f"{q}\t{pos}\t{neg}\n")
     (tmp_path / "train.tsv").write_text("".join(lines))
+    # continuous-validation tuples: 4 queries × 4 candidate docs (1 relevant);
+    # 13 real rows per pass forces the eval step's pad-to-device-count path
+    val, qrels = [], []
+    for qi in range(4):
+        n_cands = 4 if qi < 3 else 1
+        for di in range(n_cands):
+            doc = f"body topic{qi} relevant" if di == 0 else f"body other{di} filler"
+            val.append(f"q{qi}\td{qi}_{di}\tquery topic{qi} alpha\t{doc}\n")
+        qrels.append(f"q{qi} 0 d{qi}_0 1\n")
+    (tmp_path / "validation.tsv").write_text("".join(val))
+    (tmp_path / "validation.qrels").write_text("".join(qrels))
 
     port = _free_port()
     driver = os.path.join(os.path.dirname(__file__), "_multihost_train_driver.py")
@@ -93,3 +104,8 @@ def test_two_process_cpu_dryrun(tmp_path):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert "MULTIHOST_DRYRUN_OK" in out, out[-2000:]
     assert os.path.exists(tmp_path / "run" / "best-model.flax")
+    # continuous validation ran across the process boundary and the primary
+    # wrote the metric rows (2 mid-epoch + 1 end-of-epoch validations)
+    csv_path = tmp_path / "run" / "validation-metrics-cont.csv"
+    assert os.path.exists(csv_path)
+    assert len(csv_path.read_text().strip().splitlines()) >= 3
