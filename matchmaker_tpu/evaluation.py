@@ -18,6 +18,7 @@ import os
 import time
 from typing import Callable, Dict, List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from matchmaker_tpu.data.loaders import reranking_inference_loader
@@ -64,7 +65,14 @@ def evaluate_model(
         from matchmaker_tpu.utils.replay_cache import CrossExperimentReplayCache
 
         cache_write = not os.path.exists(os.path.join(cache_path, "cache-meta.json"))
-        cache = CrossExperimentReplayCache(cache_path, write=cache_write)
+        if cache_write and jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-process eval runs this loop on EVERY process with the same
+            # replicated tensors; only process 0 writes the cache (concurrent
+            # writers would corrupt the shared block files). Non-zero
+            # processes skip the cache this pass and replay it once written.
+            cache_write = False
+        else:
+            cache = CrossExperimentReplayCache(cache_path, write=cache_write)
 
     results: Dict[str, List[Tuple[str, float]]] = {}
     n = 0

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from matchmaker_tpu.ops import vmem_budget
+
 
 def _on_tpu() -> bool:
     try:
@@ -255,6 +257,10 @@ def fused_attention_block(
     if interpret is None:
         interpret = not _on_tpu()
     l_pad = -(-l // 8) * 8
+    block_b = vmem_budget.fit_block_b(
+        lambda bb: vmem_budget.attn_bf16_bytes(
+            bb, l_pad, hid, n_heads, _GROUP_HEADS, x.dtype.itemsize, save_acc),
+        block_b)
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)), constant_values=0.0)
@@ -286,7 +292,8 @@ def fused_attention_block(
         out_shape=out_shape,
         # the weights (4.5 MB) + pipeline buffers sit just past the default
         # 16 MB scoped-vmem line (16.62 MB at DistilBERT size)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_budget.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, wq, wk, wv, wo, bq, bk, bv, bo, mask.astype(jnp.float32),
       ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
@@ -411,17 +418,19 @@ def fused_mlp_block(
     if interpret is None:
         interpret = not _on_tpu()
     l_pad = -(-l // 8) * 8
-    # block_b=16 is sized for L≤128 encode shapes; scale down for longer
-    # sequences (training docs run L=200) so the per-chunk f32 intermediate
-    # stays inside the scoped-vmem budget
-    if l_pad > 128:
-        block_b = min(block_b, 8)
+    ff = w1.shape[1]
+    # block_b derived from the kernel's vmem byte model: block_b=16 at encode
+    # shapes (L<=128), halved for longer sequences (training docs run L=200)
+    # so the per-chunk f32 intermediate stays inside the scoped-vmem budget
+    block_b = vmem_budget.fit_block_b(
+        lambda bb: vmem_budget.mlp_bf16_bytes(
+            bb, l_pad, hid, ff, ff_chunks, x.dtype.itemsize, save_acc),
+        block_b)
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
     b_pad = -(-b // block_b) * block_b
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
-    ff = w1.shape[1]
     kernel = functools.partial(_mlp_kernel, ff_chunks=ff_chunks, ln_eps=ln_eps)
     from jax.experimental.pallas import tpu as pltpu
 
@@ -441,7 +450,8 @@ def fused_mlp_block(
         if save_acc else pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
         out_shape=[jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype)] * 2
         if save_acc else jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_budget.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
       ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))

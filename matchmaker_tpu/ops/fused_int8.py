@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 # output to 7 bits right after, so the poly is invisible vs exact erf; the
 # fused-kernel probe measured the A&S exp/div as the MLP halves' VPU drag
 from matchmaker_tpu.ops.fused_attention import _gelu_poly, _on_tpu
+from matchmaker_tpu.ops import vmem_budget
 
 
 def quantize_weights_per_col(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -113,14 +114,19 @@ def fused_mlp_int8_block(
     if interpret is None:
         interpret = not _on_tpu()
     l_pad = -(-l // 8) * 8
-    if l_pad > 128:
-        block_b = min(block_b, 8)
+    ff = w1q.shape[1]
+    # derive block_b from the per-kernel vmem byte model (round 4 shipped a
+    # hand-tuned `l_pad > 128` branch that missed l_pad == 128 and OOMed the
+    # scoped vmem at the bench geometry — ops/vmem_budget.py)
+    block_b = vmem_budget.fit_block_b(
+        lambda bb: vmem_budget.mlp_int8_bytes(
+            bb, l_pad, hid, ff, ff_chunks, x.dtype.itemsize),
+        block_b)
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
     b_pad = -(-b // block_b) * block_b
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
-    ff = w1q.shape[1]
     kernel = functools.partial(_mlp_int8_kernel, ff_chunks=ff_chunks, ln_eps=ln_eps)
     from jax.experimental.pallas import tpu as pltpu
 
@@ -140,7 +146,8 @@ def fused_mlp_int8_block(
         ],
         out_specs=pl.BlockSpec((block_b, l_pad, hid), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_budget.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, w1q, s1.astype(jnp.float32), b1.astype(jnp.float32),
       w2q, s2.astype(jnp.float32), b2.astype(jnp.float32),
@@ -225,6 +232,10 @@ def fused_attention_int8_block(
     if interpret is None:
         interpret = not _on_tpu()
     l_pad = -(-l // 8) * 8
+    block_b = vmem_budget.fit_block_b(
+        lambda bb: vmem_budget.attn_int8_bytes(
+            bb, l_pad, hid, n_heads, group_heads, x.dtype.itemsize),
+        block_b)
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)), constant_values=0.0)
@@ -251,7 +262,8 @@ def fused_attention_int8_block(
                   vspec, vspec],
         out_specs=blk3,
         out_shape=jax.ShapeDtypeStruct((b_pad, l_pad, hid), x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_budget.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, wqq, sq.astype(jnp.float32), wkq, sk.astype(jnp.float32),
       wvq, sv.astype(jnp.float32), woq, so.astype(jnp.float32),

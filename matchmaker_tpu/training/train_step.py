@@ -316,6 +316,32 @@ def make_eval_step(model, mesh=None, data_sharding=None):
     )
     n_dev = int(mesh.devices.size)
 
+    # mp_step feeds rows [lo, hi) of the global batch as this process's local
+    # data, which is only correct if the sharding's global row order is
+    # process-contiguous in pid order (process_shard_bounds' contract). Verify
+    # once at construction: each device owns one row of a length-n_dev array;
+    # this process's rows must be exactly the pid-th contiguous run.
+    if jax.process_count() > 1:
+        pid, per = jax.process_index(), n_dev // jax.process_count()
+        imap = data_sharding.devices_indices_map((n_dev,))
+        mine = sorted(
+            (idx[0].start or 0)
+            for d, idx in imap.items() if d.process_index == pid
+        )
+        if mine != list(range(pid * per, (pid + 1) * per)):
+            raise AssertionError(
+                f"data-axis device order is not process-contiguous: process "
+                f"{pid} owns global rows {mine}, expected "
+                f"[{pid * per}, {(pid + 1) * per}) — eval scores would be "
+                f"silently permuted relative to qids/dids"
+            )
+
+    # only these outputs are batch-major; everything else (learned scalars,
+    # loss stats) passes through untrimmed even if a dim coincidentally
+    # matches the padded row count
+    _BATCH_MAJOR = ("score", "passage_scores", "qa_logits_start",
+                    "qa_logits_end", "answerability_logits")
+
     def mp_step(params, batch, output_secondary: bool = False):
         rows = next(iter(batch.values())).shape[0]
         padded = -(-rows // n_dev) * n_dev
@@ -331,11 +357,17 @@ def make_eval_step(model, mesh=None, data_sharding=None):
         out = step_mp(params, gbatch, output_secondary)
 
         # replicated outputs are fully addressable on every process; trim the
-        # pad rows so callers see the original batch size
+        # pad rows off the batch-major outputs so callers see the original
+        # batch size
         def trim(x):
-            a = np.asarray(x)
-            return a[:rows] if a.ndim >= 1 and a.shape[0] == padded else a
+            return np.asarray(x)[:rows]
 
-        return jax.tree_util.tree_map(trim, out)
+        out = dict(out)
+        for k in _BATCH_MAJOR:
+            if k in out:
+                out[k] = trim(out[k])
+        if "secondary" in out:
+            out["secondary"] = jax.tree_util.tree_map(trim, out["secondary"])
+        return out
 
     return mp_step

@@ -373,9 +373,10 @@ class Trainer:
 
             multihost_utils.sync_global_devices("matchmaker_train_end")
             best_path = os.path.join(self.run_folder, "best-model.flax")
-            if self.is_primary and not os.path.exists(best_path):
-                # no continuous validation ran → final params are the best we have;
-                # otherwise _validate already saved the best checkpoint
+            if self.is_primary and self.best_metric == -math.inf:
+                # no continuous validation saved a best checkpoint THIS run →
+                # final params are the best we have (a stale best-model.flax
+                # left in a reused run folder must not suppress this save)
                 save_params(best_path, self.params)
             self.perf.save_summary(
                 os.path.join(self.run_folder, f"efficiency-metrics-p{jax.process_index()}.json")
@@ -383,9 +384,13 @@ class Trainer:
             self.perf.print_summary()
             return
 
-        # reload best checkpoint for final evals (reference train.py:694-717)
+        # reload best checkpoint for final evals (reference train.py:694-717).
+        # "best exists" is tracked in-memory (did _validate save one THIS
+        # run?), not by probing the filesystem — a stale best-model.flax in a
+        # reused run folder would otherwise both suppress saving this run's
+        # final params and reload the stale weights.
         best_path = os.path.join(self.run_folder, "best-model.flax")
-        if os.path.exists(best_path):
+        if self.best_metric > -math.inf and os.path.exists(best_path):
             self.params = load_params(best_path, self.params)
         else:
             save_params(best_path, self.params)
