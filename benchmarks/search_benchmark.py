@@ -229,9 +229,13 @@ def main():
     configs = set(args.configs.split(","))
 
     print(f"[search-bench] device={jax.devices()[0]} rows={args.rows} dim={args.dim} k={args.k}")
-    binmax_cfgs = {c for c in configs if c.startswith("binmax") and c != "binmax_int8"}
+    binmax_cfgs = {c for c in configs
+                   if c.startswith("binmax") and not c.startswith("binmax_int8")}
     needs_f16 = bool(configs & {"f16scan", "f16scan_full", "twostage_f16"})
-    keep_f16 = needs_f16 or bool(binmax_cfgs)
+    # binmax_int8* needs the float rows too: binwise absmax quantization
+    # (the production FlatIndex path) reads them, not the global-scale int8
+    keep_f16 = needs_f16 or bool(binmax_cfgs) or bool(
+        {c for c in configs if c.startswith("binmax_int8")})
     # binmax-only runs store bf16 directly: no second 13.7 GB buffer at 8.9M
     bf16_direct = bool(binmax_cfgs) and not needs_f16
     keep_int8 = bool(configs & {"approx_int8", "binmax_int8", "twostage_int8", "twostage_f16"})
@@ -328,6 +332,15 @@ def main():
             cscales = jnp.full((values.shape[0] // 128, 1), float(scale), jnp.float32)
         run("binmax_int8", lambda q, v, s: binmax_scan_topk(
             q, v, args.k, n_valid=args.rows, corpus_scales=s), (v8, cscales))
+        if "binmax_int8_rescore" in configs:
+            # int8 binmax candidates + exact rescore of the SAME int8 codes
+            # (f32 query, per-row dequant) — recall parity at ~zero memory
+            # over the int8 corpus (ops/mips_binmax.binmax_rescore_topk)
+            from matchmaker_tpu.ops.mips_binmax import binmax_rescore_topk
+
+            run("binmax_int8_rescore", lambda q, v, s: binmax_rescore_topk(
+                q, v, s, args.k, oversample=args.oversample, n_valid=args.rows),
+                (v8, cscales))
     if "twostage_int8" in configs:
         run("twostage_int8", lambda q, v, s: twostage_exact_topk(
             q, v, s, args.k, oversample=args.oversample, block_size=args.block,

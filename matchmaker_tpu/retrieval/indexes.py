@@ -162,13 +162,22 @@ class FlatIndex(BaseNNIndexer):
 
         mesh, block = self.mesh, self.block_size
 
-        if self.quantized and self.mips_kernel == "binmax" and not self.twostage:
+        if self.quantized and self.mips_kernel == "binmax":
             # int8 × fused binmax: the MXU's double-rate int8 path at half the
             # HBM corpus traffic, feeding the same bin-max tournament. Dequant
             # scales are per 128-row bin (rows are permuted → bins i.i.d.);
             # per-row scales cost 4× the int8 row itself in lane-padded VMEM
             # traffic and measured SLOWER than bf16.
-            from matchmaker_tpu.ops.mips_binmax import sharded_binmax_topk
+            #
+            # twostage composes ScaNN's shape on top (reference
+            # scann_index.py:32-35: quantized scan + exact reorder): binmax
+            # candidates at per_bin=4 (candidate coverage ~0.999) + exact
+            # rescore of oversample·k candidates against the int8 codes
+            # (mips_rescore_dtype=int8 — zero extra memory) or f16 rows
+            # (mips_rescore_dtype=float16) — recall ≈ parity at scan speed.
+            from matchmaker_tpu.ops.mips_binmax import (
+                sharded_binmax_rescore_topk, sharded_binmax_topk,
+            )
             from matchmaker_tpu.ops.mips_quant import (
                 quantize_corpus_binwise, sharded_quantized_topk,
             )
@@ -176,13 +185,20 @@ class FlatIndex(BaseNNIndexer):
             values, bin_scales = quantize_corpus_binwise(vectors)
             dv = jnp.asarray(values)
             ds = jnp.asarray(bin_scales)
+            rescore = None
+            if self.twostage and self.rescore_dtype == "float16":
+                rescore = jnp.asarray(vectors, dtype=jnp.bfloat16)
             if self.mesh is not None and n_shards > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 dv = jax.device_put(dv, NamedSharding(self.mesh, P(axes, None)))
                 ds = jax.device_put(ds, NamedSharding(self.mesh, P(axes, None)))
-            self._device_vectors = (dv, ds, None)
+                if rescore is not None:
+                    rescore = jax.device_put(
+                        rescore, NamedSharding(self.mesh, P(axes, None)))
+            self._device_vectors = (dv, ds, rescore)
             row_count = self._row_count
+            twostage, oversample = self.twostage, self.oversample
             geom = {k_: v for k_, v in (
                 ("tile_rows", self.tile_rows_override), ("q_chunk", self.q_chunk_override),
             ) if v}
@@ -190,13 +206,23 @@ class FlatIndex(BaseNNIndexer):
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def search_fn(queries, corpus, k):
-                values, scales, _ = corpus
+                values, scales, rescore_corpus = corpus
                 # same geometry gate + exact fallback as the f16 binmax path
                 if row_count // 128 * 8 >= 8 * k:
                     want = int(min(8, max(2, -(-8 * k * 128 // row_count))))
                     per_bin = 1 << (want - 1).bit_length()
                     if per_bin_override and row_count // 128 * per_bin_override >= 8 * k:
                         per_bin = per_bin_override  # still >=8x oversampled
+                    if twostage:
+                        # in-bin candidate loss needs per_bin>=4 (Poisson
+                        # tail: P(>=4 noise-inflated rivals) ~1e-3); rescore
+                        # then undoes the quantized final ranking
+                        return sharded_binmax_rescore_topk(
+                            queries, values, scales, k, mesh=mesh, axis=axes,
+                            n_valid=row_count, per_bin=max(per_bin, 4),
+                            oversample=oversample,
+                            rescore_corpus=rescore_corpus, **geom,
+                        )
                     return sharded_binmax_topk(
                         queries, values, k, mesh=mesh, axis=axes, n_valid=row_count,
                         per_bin=per_bin, corpus_scales=scales, **geom,

@@ -471,3 +471,125 @@ def test_flat_index_int8_binmax(eight_devices):
         assert all(g != "" for row in got for g in row), (n, got)
         # self-retrieval at cosine 1.0 survives int8 quantization
         assert "d3" in set(got[0]) and f"d{n-5}" in set(got[1]), (n, got)
+
+
+def test_binmax_rescore_recovers_exact_ranking():
+    """binmax_rescore_topk: the int8 binmax scan's ranking error (double
+    quantization + 7-bit mantissa packing) is undone by the exact-rescore
+    stage — the returned top-k must equal the exact f32-query x
+    dequantized-int8-corpus ranking over the fetched candidates, and beat
+    the plain int8 scan's overlap with the true f32 top-k."""
+    from matchmaker_tpu.ops.mips_binmax import binmax_rescore_topk, binmax_scan_topk
+    from matchmaker_tpu.ops.mips_quant import quantize_corpus_binwise
+
+    rng = np.random.default_rng(21)
+    # k small vs the bin count (n/128 = 64 bins, per_bin=2 → 128 candidates):
+    # at k comparable to the bin count the >=3-per-bin CANDIDATE loss
+    # dominates, which the rescore stage cannot (and should not) fix
+    n, d, k = 8192, 64, 8
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.normal(size=(6, d)).astype(np.float32)
+    v8_np, bs_np = quantize_corpus_binwise(corpus)
+    v8, bs = jnp.asarray(v8_np), jnp.asarray(bs_np)
+    q = jnp.asarray(queries)
+
+    vals, idx = binmax_rescore_topk(
+        q, v8, bs, k, oversample=4, tile_rows=512, use_pallas=False)
+    assert vals.shape == (6, k) and idx.shape == (6, k)
+    idx = np.asarray(idx)
+    assert (idx >= 0).all() and idx.max() < n
+
+    # returned scores must be the dequantized dots of the returned ids
+    # (bf16 query rounding in the rescore einsum → loose rtol)
+    dequant = v8_np.astype(np.float32) * np.repeat(bs_np[:, 0], 128)[:, None]
+    want = np.take_along_axis(queries @ dequant.T, idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), want, rtol=2e-2, atol=1e-3)
+    # and sorted descending (a real ranking, not scan order)
+    assert (np.diff(np.asarray(vals), axis=1) <= 1e-6).all()
+
+    # rescore strictly improves (>=) overlap with the true f32 top-k
+    sv, si = binmax_scan_topk(
+        q, v8, k, corpus_scales=bs, tile_rows=512, use_pallas=False)
+    true = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    ov_scan = sum(len(set(np.asarray(si)[i]) & set(true[i])) for i in range(6))
+    ov_resc = sum(len(set(idx[i]) & set(true[i])) for i in range(6))
+    assert ov_resc >= ov_scan
+    assert ov_resc >= 6 * (k - 1)  # near-exact: <=1 slip/query at 4x oversample
+
+    # 16-bit rescore rows variant returns true-f16-dot scores
+    vals2, idx2 = binmax_rescore_topk(
+        q, v8, bs, k, oversample=4, tile_rows=512, use_pallas=False,
+        rescore_corpus=jnp.asarray(corpus.astype(np.float16)))
+    want2 = np.take_along_axis(
+        queries @ corpus.astype(np.float16).astype(np.float32).T,
+        np.asarray(idx2), axis=1)
+    np.testing.assert_allclose(np.asarray(vals2), want2, rtol=2e-2, atol=1e-3)
+
+
+def test_sharded_binmax_rescore_matches_single_device(eight_devices):
+    """sharded_binmax_rescore_topk == single-device rescore over the same
+    corpus, including tail-shard padding (n_valid < padded rows)."""
+    from matchmaker_tpu.ops.mips_binmax import (
+        binmax_rescore_topk,
+        sharded_binmax_rescore_topk,
+    )
+    from matchmaker_tpu.ops.mips_quant import quantize_corpus_binwise
+    from matchmaker_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(22)
+    n_real, d, k = 8 * 512 - 300, 32, 16  # tail shard only partially filled
+    n_pad = 8 * 512
+    corpus = rng.normal(size=(n_real, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    padded = np.zeros((n_pad, d), np.float32)
+    padded[:n_real] = corpus
+    v8_np, bs_np = quantize_corpus_binwise(padded)
+    v8, bs = jnp.asarray(v8_np), jnp.asarray(bs_np)
+    queries = jnp.asarray(rng.normal(size=(5, d)).astype(np.float32))
+    mesh = make_mesh()
+
+    v1, i1 = jax.jit(lambda q, v, s: binmax_rescore_topk(
+        q, v, s, k, n_valid=n_real, tile_rows=512, use_pallas=False))(queries, v8, bs)
+    v8v, i8v = jax.jit(lambda q, v, s: sharded_binmax_rescore_topk(
+        q, v, s, k, mesh=mesh, n_valid=n_real, tile_rows=512,
+        use_pallas=False))(queries, v8, bs)
+    i1, i8v = np.asarray(i1), np.asarray(i8v)
+    assert i8v.max() < n_real and (i8v >= 0).all()
+    for qi in range(5):
+        assert set(map(int, i1[qi])) == set(map(int, i8v[qi]))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v1), 1), np.sort(np.asarray(v8v), 1), rtol=1e-5)
+
+
+def test_flat_index_int8_binmax_twostage(eight_devices):
+    """FlatIndex mips_quantization=int8 + mips_kernel=binmax + mips_twostage:
+    the production ScaNN-shaped engine (binmax candidates at per_bin>=4 +
+    exact rescore) returns a near-exact ranking on the 8-device mesh, for
+    both rescore dtypes (int8 codes / 16-bit rows)."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+    from matchmaker_tpu.retrieval.indexes import FlatIndex
+
+    rng = np.random.default_rng(29)
+    n, d, k = 8 * 2048, 24, 10
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    ids = np.array([f"d{i}" for i in range(n)])
+    true = np.argsort(-(vectors[[3, n - 5]] @ vectors.T), axis=1)[:, :k]
+    for dtype in ("int8", "float16"):
+        index = FlatIndex(
+            {"token_dtype": "float16", "mips_quantization": "int8",
+             "mips_kernel": "binmax", "mips_twostage": True,
+             "mips_rescore_dtype": dtype}, make_mesh(),
+        )
+        index.prepare(d)
+        index.index(ids, vectors)
+        scores, got = index.search(vectors[[3, n - 5]], k)
+        assert np.isfinite(scores).all(), (dtype, scores)
+        # descending ranking with self-retrieval on top
+        assert got[0][0] == "d3" and got[1][0] == f"d{n-5}", (dtype, got)
+        assert (np.diff(scores, axis=1) <= 1e-6).all(), dtype
+        # near-exact: the rescored top-k overlaps the true f32 top-k
+        for qi in range(2):
+            want = {f"d{j}" for j in true[qi]}
+            assert len(set(got[qi]) & want) >= k - 1, (dtype, qi, got[qi])

@@ -153,6 +153,19 @@ def gate_binmax_int8_1m():
     ).lower(q, corpus, scales).compile()
 
 
+def gate_binmax_int8_rescore_1m():
+    """Int8 binmax + exact rescore (FlatIndex mips_twostage production path:
+    per_bin=4 candidates, 4x-oversampled gather + bf16 rescore einsum)."""
+    from matchmaker_tpu.ops.mips_binmax import binmax_rescore_topk
+
+    q = _s((256, 768), F32)
+    corpus = _s((1_048_576, 768), jnp.int8)
+    scales = _s((1_048_576 // 128, 1), F32)
+    jax.jit(
+        lambda q, c, s: binmax_rescore_topk(q, c, s, k=1000, oversample=4)
+    ).lower(q, corpus, scales).compile()
+
+
 def gate_mips_quant_1m():
     from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
 
@@ -182,6 +195,7 @@ GATES = {
     "train_fused_b128_q30_d200": gate_train_fused,
     "binmax_bf16_1m": gate_binmax_1m,
     "binmax_int8_1m": gate_binmax_int8_1m,
+    "binmax_int8_rescore_1m": gate_binmax_int8_rescore_1m,
     "mips_quant_int8_1m": gate_mips_quant_1m,
     "mips_f16_scan_1m": gate_mips_f16_1m,
 }
