@@ -42,8 +42,21 @@ def triple_training_loader(
     tokenizer,
     path: str,
     batch_size: Optional[int] = None,
+    process_stride: Optional[Tuple[int, int]] = None,
+    skip_batches: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Yield training batches from a pre-generated triple file."""
+    """Yield training batches from a pre-generated triple file.
+
+    ``process_stride=(pid, n_proc)``: multi-process data slicing BEFORE
+    tokenization — sample i belongs to local batch i // batch_size, and this
+    process keeps only batches where (i // batch_size) % n_proc == pid (the
+    same assignment as islice-ing the batch stream, but the skipped samples
+    never reach the tokenizer: each extra process used to re-tokenize the
+    WHOLE file to discard (n_proc-1)/n_proc of it).
+
+    ``skip_batches``: drop this process's first N batches without tokenizing
+    them (mid-epoch resume fast-forward; see Trainer.resume_from_train_state).
+    """
     batch_size = batch_size or config.get("batch_size_train", 32)
     max_q = config.get("max_query_length", 30)
     max_d = config.get("max_doc_length", 200)
@@ -62,13 +75,24 @@ def triple_training_loader(
         buf.clear()
         return pad_to_batch(batch, batch_size)
 
-    for sample in read_triples(
+    def keep_samples(samples):
+        pid, n_proc = process_stride if process_stride else (0, 1)
+        kept = 0
+        for i, s in enumerate(samples):
+            if (i // batch_size) % n_proc != pid:
+                continue
+            if kept < skip_batches * batch_size:
+                kept += 1
+                continue
+            yield s
+
+    for sample in keep_samples(read_triples(
         path,
         with_scores=with_scores,
         with_qa=with_qa,
         augmentation=config.get("train_data_augment", "none"),
         seed=config.get("random_seed", 42),
-    ):
+    )):
         if with_qa:
             # QA multi-task: concatenated [q-enc ‖ d-enc] with char-span → token
             # labels on the positive doc (reference independent_training_loader

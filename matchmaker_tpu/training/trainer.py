@@ -48,13 +48,10 @@ class Trainer:
 
         self.n_processes = multihost.process_count()
         self.is_primary = multihost.is_primary()
-        if self.n_processes > 1 and config.get("save_train_state", False):
-            raise ValueError(
-                "save_train_state under a multi-process launch is not "
-                "supported (the orbax snapshot assumes one writer); resume "
-                "multi-host runs from best-model.flax via warmstart_model_path "
-                "instead (docs/multihost_runbook.md)"
-            )
+        # save_train_state under multi-process launches is a COLLECTIVE:
+        # every process calls TrainStateCheckpointer.save (orbax coordinates
+        # shard writes via jax.distributed; on a pod the directory must be
+        # shared storage — docs/multihost_runbook.md)
 
         self.mesh = make_mesh()
         self.batch_sharding = batch_sharding(self.mesh)
@@ -104,6 +101,10 @@ class Trainer:
         self.scalars = ScalarWriter(run_folder, config.get("enable_tensorboard", True))
         self.best_metric = -math.inf
         self.global_step = 0
+        # data cursor for mid-epoch resume: epoch index + batches consumed
+        # within it (persisted in the train-state snapshot)
+        self._epoch = 0
+        self._epoch_batch = 0
         self._loss_csv = os.path.join(run_folder, "training-loss.csv")
 
         # startup smoke: param counts per top-level subtree ("just test that it
@@ -160,12 +161,17 @@ class Trainer:
                     self.global_step,
                 )
         if self.config.get("save_train_state", False):
-            # full params+optimizer+step snapshot for true mid-run resume
-            # (beyond the reference, which restarts eval-only — SURVEY.md §5.4)
-            self._train_state_checkpointer().save(
-                self.global_step,
-                {"params": self.params, "opt_state": self.opt_state, "step": self.global_step},
-            )
+            self._save_train_state()
+        if self.is_primary:
+            # learned-scalar telemetry: TK mixer / kernel alphas, TK-Sparse
+            # gate mixers, IDCM selection weights, MTL log-vars, ... — the
+            # per-validation traces researchers watch (reference
+            # get_param_stats, train.py:240-244)
+            from matchmaker_tpu.obs.scalars import collect_learned_scalars
+
+            stats = collect_learned_scalars(self.params)
+            if stats:
+                self.scalars.write(stats, self.global_step, prefix="params")
         min_steps = self.config.get("min_steps_training", -1)
         stop = self.early_stopping.step(metric_value)
         if stop and min_steps > 0 and self.global_step < min_steps:
@@ -179,19 +185,38 @@ class Trainer:
             self._ts_ckpt = TrainStateCheckpointer(os.path.join(self.run_folder, "train_state"))
         return self._ts_ckpt
 
+    def _save_train_state(self) -> None:
+        # full params+optimizer+step+data-cursor snapshot for true mid-run
+        # resume (beyond the reference, which restarts eval-only — SURVEY.md
+        # §5.4). Multi-process: COLLECTIVE — every process calls save and
+        # orbax coordinates the shard writes.
+        self._train_state_checkpointer().save(
+            self.global_step,
+            {"params": self.params, "opt_state": self.opt_state,
+             "step": self.global_step,
+             "epoch": self._epoch, "epoch_batch": self._epoch_batch},
+        )
+
     def resume_from_train_state(self) -> bool:
-        """Restore params+optimizer+step from the latest snapshot; True if found."""
+        """Restore params+optimizer+step+data cursor from the latest snapshot;
+        True if found. ``train()`` then continues mid-epoch: it starts at the
+        saved epoch and fast-forwards the loader past the consumed batches
+        (skipped pre-tokenization for the file loader)."""
         ckpt = self._train_state_checkpointer()
         step = ckpt.latest_step()
         if step is None:
             return False
         state = ckpt.restore(
-            step, {"params": self.params, "opt_state": self.opt_state, "step": 0}
+            step, {"params": self.params, "opt_state": self.opt_state,
+                   "step": 0, "epoch": 0, "epoch_batch": 0}
         )
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.global_step = int(state["step"])
-        print(f"[trainer] resumed train state at step {self.global_step}")
+        self._epoch = int(state["epoch"])
+        self._epoch_batch = int(state["epoch_batch"])
+        print(f"[trainer] resumed train state at step {self.global_step} "
+              f"(epoch {self._epoch}, batch {self._epoch_batch})")
         return True
 
     # ------------------------------------------------------------------
@@ -290,27 +315,35 @@ class Trainer:
                 yield batch
 
         self.perf.start_block("train")
-        for epoch in range(epochs):
+        max_batches = config.get("max_training_batches", 0)
+        for epoch in range(self._epoch, epochs):
             if stopped:
                 break
+            self._epoch = epoch
+            # mid-epoch resume: skip this epoch's already-consumed batches
+            # (only the resumed epoch carries a non-zero cursor)
+            skip = self._epoch_batch
             if sampler is not None:
                 loader = sampler.batches(
                     config, self.tokenizer, max_batches=config.get("tas_batches_per_epoch", 1000)
                 )
-            else:
-                loader = triple_training_loader(
-                    config, self.tokenizer, config["train_tsv"], batch_size=local_bs
-                )
-                if n_proc > 1:
+                if skip:
                     import itertools
 
-                    loader = itertools.islice(loader, pid, None, n_proc)
+                    loader = itertools.islice(loader, skip, None)
+            else:
+                loader = triple_training_loader(
+                    config, self.tokenizer, config["train_tsv"], batch_size=local_bs,
+                    process_stride=(pid, n_proc) if n_proc > 1 else None,
+                    skip_batches=skip,
+                )
             if cacher is not None and not cache_write:
                 loader = replay_cached(loader)
             if teacher is not None:
                 loader = teacher.wrap(loader, sharding=self.batch_sharding)
             recent_failures = []
             for batch in device_prefetch(loader, sharding=self.batch_sharding):
+                self._epoch_batch += 1
                 try:
                     self.params, self.opt_state, stats = self.train_step(
                         self.params, self.opt_state, batch
@@ -358,12 +391,21 @@ class Trainer:
                     if self._validate(epoch):
                         stopped = True
                         break
+                if max_batches and self.global_step >= max_batches:
+                    # hard step cap (testing / budgeted runs): snapshot the
+                    # train state so the run is resumable from exactly here
+                    if config.get("save_train_state", False):
+                        self._save_train_state()
+                    stopped = True
+                    break
             else:
                 # end-of-epoch validation keeps short epochs honest
                 stopped = self._validate(epoch) or stopped
+                self._epoch_batch = 0  # next epoch starts at its first batch
         if cacher is not None and cache_write:
             cacher.finish()
         self.perf.stop_block("train", self.global_step)
+        self.scalars.flush()  # train + params scalar CSVs land on disk
 
         if self.n_processes > 1:
             # keep processes in step before filesystem writes; only the
