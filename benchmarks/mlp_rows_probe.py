@@ -177,7 +177,7 @@ def main():
     for (b, l) in ((2 * args.batch, 200), (args.batch, 32)):
         x = jnp.asarray(rng.normal(0, 1, (b, l, hid)), jnp.bfloat16)
         flops = 2 * 2 * b * l * hid * ff  # two matmuls, MAC=2 flops
-        print(f"--- shape ({b}, {l}, {hid}) | {flops/1e9:.1f} GFLOP/call")
+        print(f"--- shape ({b}, {l}, {hid}) | {flops/1e9:.1f} GFLOP/call", flush=True)
         ref = None
         for name, fn in variants.items():
             step = jax.jit(lambda x, s: fn(x + s * 1e-9).astype(jnp.float32).sum())
@@ -194,7 +194,7 @@ def main():
             dt = (time.perf_counter() - start) / args.iters
             eff = flops / dt / 197e12
             print(f"{name:14s} {dt*1e3:7.3f} ms  MXU-eff {eff*100:5.1f}%  "
-                  f"(compile {compile_t:.1f}s, checksum drift {abs(sv-ref)/max(abs(ref),1e-9):.2e})")
+                  f"(compile {compile_t:.1f}s, checksum drift {abs(sv-ref)/max(abs(ref),1e-9):.2e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -68,3 +68,43 @@ class ScalarWriter:
             if f is not None:
                 f.close()
         self._csv.clear()
+
+
+def collect_learned_scalars(params, max_size: int = 16) -> Dict[str, float]:
+    """Model-internal learned scalars for per-validation telemetry.
+
+    The reference logs each model's hand-picked learned scalars to
+    TensorBoard every validation (train.py:240-244 get_param_stats — e.g.
+    ecai20_tk.py:126-129: TK's mixer and kernel-alpha scalers) so researchers
+    can watch them move during training. Here the selection is automatic:
+    every float param leaf with ≤ ``max_size`` elements is a learned scalar
+    (TK mixer (1,), kernel_alpha_scaler (1,1,11), TK-Sparse mixer_stop, IDCM
+    top_k_scoring (1,K), the MTL log-vars, ...) — real weight tensors are
+    orders of magnitude larger. Plain `bias`/`scale`/`embedding` leaves are
+    excluded by name so tiny-model test runs don't spam LN/dense vectors.
+
+    Returns {"path/to/leaf[/i]": value} ready for ScalarWriter.write.
+    """
+    import jax
+    import numpy as np
+
+    out: Dict[str, float] = {}
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for kp, leaf in flat:
+        if not hasattr(leaf, "shape") or not hasattr(leaf, "dtype"):
+            continue
+        if leaf.dtype.kind != "f" or int(np.prod(leaf.shape)) > max_size:
+            continue
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in kp
+        )
+        base = name.rsplit("/", 1)[-1]
+        if base in ("bias", "scale", "embedding", "kernel"):
+            continue
+        vals = np.asarray(leaf).reshape(-1)
+        if vals.size == 1:
+            out[name] = float(vals[0])
+        else:
+            for i, v in enumerate(vals):
+                out[f"{name}/{i}"] = float(v)
+    return out

@@ -259,3 +259,62 @@ def test_submodel_train_cache_write_then_replay(tmp_path, eight_devices):
         idcm_mod.IDCM._bert_chunk_scores = orig
     assert t2.global_step == 2
     assert not calls, "BERT chunk scorer ran despite a warm replay cache"
+
+
+def test_learned_scalar_telemetry(tiny, tmp_path, eight_devices):
+    """Per-validation learned-scalar telemetry (reference train.py:240-244
+    get_param_stats): model-internal learned scalars — TK's mixer and
+    kernel-alpha scalers, IDCM's top_k_scoring — are selected by
+    collect_learned_scalars and written to params-scalars.csv at each
+    validation."""
+    from matchmaker_tpu.models import get_model, example_batch
+    from matchmaker_tpu.obs.scalars import collect_learned_scalars
+
+    # unit: TK exposes mixer + kernel_alpha_scaler; IDCM exposes top_k_scoring
+    class _Tok:
+        vocab_size = 200
+        pad_id = 0
+        idf_lookup = None
+
+        class vocab:
+            token_to_id = {}
+
+    tk_cfg = Config(auto_fill({
+        "model": "tk", "model_input_type": "auto", "token_embedder_type": "auto",
+        "_vocab_size": 200, "token_embedding_size": 32,
+        "max_query_length": 8, "max_doc_length": 24,
+        "tk_att_heads": 4, "tk_att_ff_dim": 32,
+    }))
+    model = get_model(tk_cfg, _Tok())
+    params = model.init(jax.random.PRNGKey(0), example_batch(tk_cfg, batch_size=2))["params"]
+    stats = collect_learned_scalars(params)
+    assert any("mixer" in k for k in stats), sorted(stats)
+    assert any("kernel_alpha_scaler" in k for k in stats), sorted(stats)
+    # no weight matrices leaked in
+    assert all("embedding" not in k for k in stats)
+
+    idcm_cfg = Config(auto_fill({
+        "model": "idcm", "model_input_type": "auto", "token_embedder_type": "auto",
+        "_vocab_size": 200, "token_embedding_size": 32,
+        "bert_pretrained_model": "tiny-test", "use_fp16": False,
+        "max_query_length": 8, "max_doc_length": 64,
+        "idcm_chunk_size": 16, "idcm_overlap": 4,
+    }))
+    model = get_model(idcm_cfg, _Tok())
+    params = model.init(jax.random.PRNGKey(0), example_batch(idcm_cfg, batch_size=2))["params"]
+    stats = collect_learned_scalars(params)
+    assert any("top_k_scoring" in k for k in stats), sorted(stats)
+
+    # integration: a TK smoke train writes the scalars at every validation
+    run = str(tmp_path / "run_tk_scalars")
+    os.makedirs(run)
+    config = _base_config(
+        tiny, str(tmp_path), model="tk", tk_att_heads=2, tk_att_ff_dim=16,
+        token_embedding_size=16, epochs=1, enable_tensorboard=False,
+    )
+    trainer = Trainer(config, run)
+    trainer.train()
+    csv_path = os.path.join(run, "params-scalars.csv")
+    assert os.path.exists(csv_path)
+    rows = open(csv_path).read().strip().splitlines()
+    assert any("mixer" in r for r in rows[1:]), rows[:5]
