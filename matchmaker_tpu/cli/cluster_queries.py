@@ -63,6 +63,12 @@ def run(model_path: str, queries: str, out: str, clusters: int = 2000,
         single_sequence_loader(cfg, tokenizer, queries, "query")
     ):
         vecs = np.asarray(encode(params, batch["seq_ids"], batch["seq_mask"]))
+        if vecs.ndim == 3:
+            # multi-vector encoder (ColBERT): masked mean-pool the token
+            # vectors — clustering wants ONE point per query whatever the
+            # model family (the reference clusters bert_dot CLS vectors)
+            m = np.asarray(batch["seq_mask"])[..., None]
+            vecs = (vecs * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1e-6)
         keep = int(batch["valid"].sum())
         all_vecs.append(vecs[:keep])
         all_ids.extend(qids[:keep])

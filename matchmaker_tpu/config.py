@@ -89,12 +89,30 @@ def _set_dotted(target: Dict[str, Any], dotted: str, value: Any) -> None:
     node[parts[-1]] = value
 
 
+def _split_overwrites(s: str):
+    """Split on commas NOT inside {}/[] so flow-style values survive —
+    e.g. ``validation_cont: {tsv: a.tsv, qrels: q.tsv}, loss: margin-mse``
+    (the docs/msmarco_runbook.md step-1 command) is two chunks, not four."""
+    chunks, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            chunks.append(s[start:i])
+            start = i + 1
+    chunks.append(s[start:])
+    return chunks
+
+
 def parse_overwrites(overwrites: Optional[str]) -> Dict[str, Any]:
-    """Parse ``"k1: v1,k2: v2"`` (reference CLI format). Dotted keys supported."""
+    """Parse ``"k1: v1,k2: v2"`` (reference CLI format). Dotted keys and
+    flow-style nested values (``k: {a: 1, b: 2}``) supported."""
     if not overwrites:
         return {}
     out: Dict[str, Any] = {}
-    for chunk in overwrites.split(","):
+    for chunk in _split_overwrites(overwrites):
         chunk = chunk.strip()
         if not chunk:
             continue
