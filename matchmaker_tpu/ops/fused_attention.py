@@ -188,18 +188,25 @@ def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
                   n_heads, head_dim, scale, ln_eps):
     # *refs: optional acc_ref output (training forward saves the pre-LN
     # residual sum so the backward kernel skips its recompute pass)
+    # ROW-PACKED projections: all four (H, H)-weight matmuls run on the
+    # (Bb·L, H) row merge — one full-width MXU op each instead of Bb
+    # per-example (L, H) matmuls (see _mlp_kernel; measured 4.7x on the MLP
+    # half). Only the per-head score/attend dots keep the (Bb, L, ...)
+    # batched form — they are genuinely per-example.
     xb = x_ref[...]  # (Bb, L, HID) bf16
+    bb, l, hid = xb.shape
+    x2 = xb.reshape(bb * l, hid)
     neg = (m_ref[...] - 1.0) * 1e9
-    acc = xb.astype(jnp.float32) + bo_ref[...]  # residual + out-proj bias
+    acc = x2.astype(jnp.float32) + bo_ref[...]  # residual + out-proj bias
     gh = _GROUP_HEADS
     for g in range(n_heads // gh):
         gl = slice(g * gh * head_dim, (g + 1) * gh * head_dim)
         proj = lambda w_ref, b_ref: (
             jax.lax.dot_general(
-                xb, w_ref[...][:, gl], (((2,), (0,)), ((), ())),
+                x2, w_ref[...][:, gl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + b_ref[...][gl]
-        ).astype(xb.dtype)
+        ).astype(xb.dtype).reshape(bb, l, gh * head_dim)
         qg, kg, vg = proj(wq_ref, bq_ref), proj(wk_ref, bk_ref), proj(wv_ref, bv_ref)
         parts = []
         for h in range(gh):
@@ -216,13 +223,13 @@ def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
                 p, vg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(xb.dtype))
-        a = jnp.concatenate(parts, axis=-1)  # (Bb, L, gh·D)
+        a = jnp.concatenate(parts, axis=-1).reshape(bb * l, gh * head_dim)
         acc = acc + jax.lax.dot_general(
-            a, wo_ref[...][gl, :], (((2,), (0,)), ((), ())),
+            a, wo_ref[...][gl, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     if refs:
-        refs[0][...] = acc.astype(refs[0].dtype)
+        refs[0][...] = acc.astype(refs[0].dtype).reshape(bb, l, hid)
     # post-attention LayerNorm fused in: XLA lowers a reduce+convert that
     # consumes a custom-call RESULT through its slow layout-materialization
     # path (measured 10.75 ms/layer for a 0.5 ms LayerNorm — the whole
@@ -230,7 +237,8 @@ def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
     mean = acc.mean(axis=-1, keepdims=True)
     var = ((acc - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (acc - mean) * jax.lax.rsqrt(var + ln_eps)
-    o_ref[...] = (y * g_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = ((y * g_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+                  ).reshape(bb, l, hid)
 
 
 def fused_attention_block(
@@ -376,28 +384,38 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, o_ref,
                 *refs, ff_chunks, ln_eps):
     # *refs: optional acc_ref output (training forward residual, see
     # _block_kernel)
+    #
+    # ROW-PACKED dots: the (Bb, L, H) block is merged to (Bb·L, H) so every
+    # matmul runs as ONE (rows, H)x(H, ch) MXU op instead of Bb per-example
+    # (L, H) matmuls — a 30-row query matmul fills 25% of an MXU row-wave;
+    # packed rows fill it. Measured (benchmarks/mlp_rows_probe.py, v5e):
+    # 4.7x at (256, 200, 768), parity bit-exact. The leading-dim merge is a
+    # free relayout (lane dim intact, sublane-major contiguous).
     xb = x_ref[...]
+    bb, l, hid = xb.shape
+    x2 = xb.reshape(bb * l, hid)
     gelu = _gelu_for(xb.dtype)
-    acc = xb.astype(jnp.float32) + b2_ref[...]
+    acc = x2.astype(jnp.float32) + b2_ref[...]
     ff = w1_ref.shape[1]
     ch = ff // ff_chunks
     for c in range(ff_chunks):
         sl = slice(c * ch, (c + 1) * ch)
         h = jax.lax.dot_general(
-            xb, w1_ref[...][:, sl], (((2,), (0,)), ((), ())),
+            x2, w1_ref[...][:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[...][sl]
         h = gelu(h).astype(xb.dtype)
         acc = acc + jax.lax.dot_general(
-            h, w2_ref[...][sl, :], (((2,), (0,)), ((), ())),
+            h, w2_ref[...][sl, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     if refs:
-        refs[0][...] = acc.astype(refs[0].dtype)
+        refs[0][...] = acc.astype(refs[0].dtype).reshape(bb, l, hid)
     mean = acc.mean(axis=-1, keepdims=True)
     var = ((acc - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (acc - mean) * jax.lax.rsqrt(var + ln_eps)
-    o_ref[...] = (y * g_ref[...] + be_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = ((y * g_ref[...] + be_ref[...]).astype(o_ref.dtype)
+                  ).reshape(bb, l, hid)
 
 
 def fused_mlp_block(

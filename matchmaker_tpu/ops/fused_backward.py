@@ -100,21 +100,21 @@ def _wgrad(a, b):
 def _ln_backward(acc, dy, g, ln_eps):
     """Backward of y = LN(acc)·g + b: returns (dacc, dg_partial, dbe_partial).
 
-    acc/dy: (Bb, L, H) f32. Partial sums are this block's contribution to the
+    acc/dy: (..., H) f32 — rows in any leading shape ((Bb, L, H) or the
+    row-packed (Bb·L, H)). Partial sums are this block's contribution to the
     (H,) param grads; the caller accumulates across grid steps.
     """
-    h = acc.shape[-1]
+    lead = tuple(range(acc.ndim - 1))
     mean = acc.mean(axis=-1, keepdims=True)
     var = ((acc - mean) ** 2).mean(axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + ln_eps)
     yhat = (acc - mean) * rstd
-    dg = (dy * yhat).sum(axis=(0, 1))
-    dbe = dy.sum(axis=(0, 1))
+    dg = (dy * yhat).sum(axis=lead)
+    dbe = dy.sum(axis=lead)
     dyh = dy * g
     m1 = dyh.mean(axis=-1, keepdims=True)
     m2 = (dyh * yhat).mean(axis=-1, keepdims=True)
     dacc = rstd * (dyh - m1 - yhat * m2)
-    del h
     return dacc, dg, dbe
 
 
@@ -135,27 +135,31 @@ def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
         dg_ref[...] = jnp.zeros_like(dg_ref)
         dbe_ref[...] = jnp.zeros_like(dbe_ref)
 
-    xb = x_ref[...]  # (Bb, L, H) bf16
+    # row-packed (Bb·L, H) operands: every dot is one full-width MXU op
+    # (see fused_attention._mlp_kernel — measured 4.7x at doc shapes)
+    xb3 = x_ref[...]  # (Bb, L, H) bf16
+    bb, l, hid = xb3.shape
+    xb = xb3.reshape(bb * l, hid)
     gelu = _gelu_for(xb.dtype)
     gelu_grad = _gelu_grad_for(xb.dtype)
-    dy = dy_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32).reshape(bb * l, hid)
     ff = w1_ref.shape[1]
     ch = ff // ff_chunks
 
     def z_chunk(sl):
         # pre-gelu chunk, recomputed (one MXU matmul per chunk — cheaper than
-        # an f32 (Bb, L, FF) VMEM scratch or an HBM round-trip of it)
+        # an f32 (Bb·L, FF) VMEM scratch or an HBM round-trip of it)
         return jax.lax.dot_general(
-            xb, w1_ref[...][:, sl], (((2,), (0,)), ((), ())),
+            xb, w1_ref[...][:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[...][sl]
 
     # acc saved by the training forward (save_acc) — no recompute pass
-    acc = acc_ref[...].astype(jnp.float32)
+    acc = acc_ref[...].astype(jnp.float32).reshape(bb * l, hid)
     dacc, dg, dbe = _ln_backward(acc, dy, g_ref[...], ln_eps)
     dg_ref[...] += dg
     dbe_ref[...] += dbe
-    db2_ref[...] += dacc.sum(axis=(0, 1))
+    db2_ref[...] += dacc.sum(axis=0)
     dacc_lp = dacc.astype(xb.dtype)
     dx = dacc  # residual path, f32
     # pass 2: per-chunk weight grads + dx
@@ -163,20 +167,20 @@ def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, dy_ref,
         sl = slice(c * ch, (c + 1) * ch)
         z = z_chunk(sl)
         hc = gelu(z).astype(xb.dtype)
-        # dW2_c: (ch, H) — contract batch and length
+        # dW2_c: (ch, H) — contract all rows
         dw2_ref[sl, :] += _wgrad(hc, dacc_lp)
         dh = jax.lax.dot_general(
-            dacc_lp, w2_ref[...][sl, :], (((2,), (1,)), ((), ())),
+            dacc_lp, w2_ref[...][sl, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dz = (dh * gelu_grad(z)).astype(xb.dtype)
         dw1_ref[:, sl] += _wgrad(xb, dz)
-        db1_ref[sl] += dz.astype(jnp.float32).sum(axis=(0, 1))
+        db1_ref[sl] += dz.astype(jnp.float32).sum(axis=0)
         dx = dx + jax.lax.dot_general(
-            dz, w1_ref[...][:, sl], (((2,), (1,)), ((), ())),
+            dz, w1_ref[...][:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(bb, l, hid)
 
 
 def _mlp_block_bwd_pallas(x, w1, b1, w2, b2, g, dy, acc, ln_eps, block_b,
@@ -296,24 +300,30 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
                     dbv_ref, dbo_ref, dg_ref, dbe_ref):
             ref[...] = jnp.zeros_like(ref)
 
+    # row-packed (Bb·L, H) operands for every projection-sized dot; only the
+    # per-head score/attend dots keep the batched 3D form (see
+    # fused_attention._block_kernel)
     xb = x_ref[...]  # (Bb, L, HID) bf16
-    dy = dy_ref[...].astype(jnp.float32)
+    bb, l, hid = xb.shape
+    x2 = xb.reshape(bb * l, hid)
+    dy = dy_ref[...].astype(jnp.float32).reshape(bb * l, hid)
     neg = (m_ref[...] - 1.0) * 1e9
     gh = _GROUP_HEADS
 
     def proj(w_ref, b_ref, gl):
-        return (jax.lax.dot_general(
-            xb, w_ref[...][:, gl], (((2,), (0,)), ((), ())),
+        return ((jax.lax.dot_general(
+            x2, w_ref[...][:, gl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b_ref[...][gl]).astype(xb.dtype)
+        ).reshape(bb, l, gh * head_dim)
 
     # acc saved by the training forward (save_acc) — no recompute pass
-    acc = acc_ref[...].astype(jnp.float32)
+    acc = acc_ref[...].astype(jnp.float32).reshape(bb * l, hid)
     dacc, dg, dbe = _ln_backward(acc, dy, g_ref[...], ln_eps)
     dg_ref[...] += dg
     dbe_ref[...] += dbe
-    dbo_ref[...] += dacc.sum(axis=(0, 1))
-    dacc_lp = dacc.astype(xb.dtype)
+    dbo_ref[...] += dacc.sum(axis=0)
+    dacc_lp = dacc.astype(xb.dtype)  # (Bb·L, H)
     dx = dacc  # residual, f32
     # single pass: per group, recompute q/k/v, softmax, and the attention
     # output a (for dWo), then backprop everything
@@ -323,9 +333,9 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
         kg = proj(wk_ref, bk_ref, gl)
         vg = proj(wv_ref, bv_ref, gl)
         dag = jax.lax.dot_general(
-            dacc_lp, wo_ref[...][gl, :], (((2,), (1,)), ((), ())),
+            dacc_lp, wo_ref[...][gl, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(xb.dtype)  # (Bb, L, gh·D)
+        ).astype(xb.dtype).reshape(bb, l, gh * head_dim)
         dqs, dks, dvs, a_parts = [], [], [], []
         for h in range(gh):
             sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -373,13 +383,14 @@ def _attn_bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
             (wk_ref, dwk_ref, dbk_ref, dk_g),
             (wv_ref, dwv_ref, dbv_ref, dv_g),
         ):
-            dw_ref[:, gl] += _wgrad(xb, dgrad)
-            db_ref[gl] += dgrad.astype(jnp.float32).sum(axis=(0, 1))
+            dgrad2 = dgrad.reshape(bb * l, gh * head_dim)
+            dw_ref[:, gl] += _wgrad(x2, dgrad2)
+            db_ref[gl] += dgrad2.astype(jnp.float32).sum(axis=0)
             dx = dx + jax.lax.dot_general(
-                dgrad, w_ref[...][:, gl], (((2,), (1,)), ((), ())),
+                dgrad2, w_ref[...][:, gl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(bb, l, hid)
 
 
 def _attn_block_bwd_pallas(x, wq, wk, wv, wo, bq, bk, bv, bo, mask, g, dy, acc,

@@ -71,8 +71,12 @@ def _quant_rows(xf: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                      g_ref, be_ref, o_ref, *, ff_chunks, ln_eps):
+    # row-packed (Bb·L, H) dots — one full-width MXU op per chunk instead of
+    # Bb per-example matmuls (see fused_attention._mlp_kernel; measured 4.7x
+    # on the bf16 MLP at doc shapes). Quantization is per-row → unaffected.
     xb = x_ref[...]
-    xf = xb.astype(jnp.float32)
+    bb, l, hid = xb.shape
+    xf = xb.reshape(bb * l, hid).astype(jnp.float32)
     acc = xf + b2_ref[...]
     xq, rs = _quant_rows(xf)
     ff = w1_ref.shape[1]
@@ -80,21 +84,22 @@ def _mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     for c in range(ff_chunks):
         sl = slice(c * ch, (c + 1) * ch)
         hi = jax.lax.dot_general(
-            xq, w1_ref[...][:, sl], (((2,), (0,)), ((), ())),
+            xq, w1_ref[...][:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         h = hi.astype(jnp.float32) * (rs * s1_ref[...][sl]) + b1_ref[...][sl]
         h = _gelu_poly(h)
         hq, hs = _quant_rows(h)
         oi = jax.lax.dot_general(
-            hq, w2_ref[...][sl, :], (((2,), (0,)), ((), ())),
+            hq, w2_ref[...][sl, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         acc = acc + oi.astype(jnp.float32) * (hs * s2_ref[...])
     mean = acc.mean(axis=-1, keepdims=True)
     var = ((acc - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (acc - mean) * jax.lax.rsqrt(var + ln_eps)
-    o_ref[...] = (y * g_ref[...] + be_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = ((y * g_ref[...] + be_ref[...]).astype(o_ref.dtype)
+                  ).reshape(bb, l, hid)
 
 
 def fused_mlp_int8_block(
@@ -165,8 +170,11 @@ def _attn_int8_kernel(x_ref, wq_ref, sq_ref, wk_ref, sk_ref, wv_ref, sv_ref,
     dequantize with rank-1 row×channel scales; the per-head attention itself
     (small (L, L) dots + f32 softmax) stays bf16 — it is ~5% of the half's
     FLOPs and carries the numerics."""
+    # row-packed projections on the (Bb·L, H) merge — per-head attention
+    # keeps the batched 3D form (see fused_attention._block_kernel)
     xb = x_ref[...]
-    xf = xb.astype(jnp.float32)
+    bb, l, hid = xb.shape
+    xf = xb.reshape(bb * l, hid).astype(jnp.float32)
     neg = (m_ref[...] - 1.0) * 1e9
     acc = xf + bo_ref[...]
     xq, rs = _quant_rows(xf)
@@ -176,11 +184,12 @@ def _attn_int8_kernel(x_ref, wq_ref, sq_ref, wk_ref, sk_ref, wv_ref, sv_ref,
 
         def proj(w_ref, s_ref, b_ref):
             pi = jax.lax.dot_general(
-                xq, w_ref[...][:, gl], (((2,), (0,)), ((), ())),
+                xq, w_ref[...][:, gl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return (pi.astype(jnp.float32) * (rs * s_ref[...][gl])
-                    + b_ref[...][gl]).astype(xb.dtype)
+            return ((pi.astype(jnp.float32) * (rs * s_ref[...][gl])
+                     + b_ref[...][gl]).astype(xb.dtype)
+                    ).reshape(bb, l, gh * head_dim)
 
         qg = proj(wq_ref, sq_ref, bq_ref)
         kg = proj(wk_ref, sk_ref, bk_ref)
@@ -200,17 +209,18 @@ def _attn_int8_kernel(x_ref, wq_ref, sq_ref, wk_ref, sk_ref, wv_ref, sv_ref,
                 p, vg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ))
-        a = jnp.concatenate(parts, axis=-1)  # (Bb, L, gh·D) f32
+        a = jnp.concatenate(parts, axis=-1).reshape(bb * l, gh * head_dim)
         aq, as_ = _quant_rows(a)
         oi = jax.lax.dot_general(
-            aq, wo_ref[...][gl, :], (((2,), (0,)), ((), ())),
+            aq, wo_ref[...][gl, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         acc = acc + oi.astype(jnp.float32) * (as_ * so_ref[...])
     mean = acc.mean(axis=-1, keepdims=True)
     var = ((acc - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (acc - mean) * jax.lax.rsqrt(var + ln_eps)
-    o_ref[...] = (y * g_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = ((y * g_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+                  ).reshape(bb, l, hid)
 
 
 def fused_attention_int8_block(
