@@ -106,6 +106,43 @@ def k_allheads(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, block_b, length):
         block_b, length, HID).astype(o_ref.dtype)
 
 
+def k_blockdiag(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, length):
+    # head-PAIR packing at full MXU depth: scores for 2 heads as ONE
+    # (L, 2D)x(2D, 2L) matmul against a block-diagonal K' — the zeros cost
+    # nothing extra (equal FLOPs: L·2L·2D == 2·(L·L·D)·2) but the contraction
+    # runs 128 deep instead of 64 (the MXU is 128 wide — a 64-deep dot wastes
+    # half the array). Attend likewise: p (L, 2L) x block-diag V' (2L, 2D)
+    # gives both heads' outputs with a 2L-deep contraction. Batched over Bb.
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    bb = q.shape[0]
+    neg = ((m_ref[...] - 1.0) * 1e9)[:, None, :]
+    zero = jnp.zeros((bb, length, D), q.dtype)
+    for hp in range(H // 2):
+        sl1 = slice((2 * hp) * D, (2 * hp + 1) * D)
+        sl2 = slice((2 * hp + 1) * D, (2 * hp + 2) * D)
+        # K' block diagonal: (Bb, 2L, 2D)
+        kp = jnp.concatenate([
+            jnp.concatenate([k[:, :, sl1], zero], axis=2),
+            jnp.concatenate([zero, k[:, :, sl2]], axis=2),
+        ], axis=1)
+        qp = jnp.concatenate([q[:, :, sl1], q[:, :, sl2]], axis=2)  # (Bb, L, 2D)
+        s = jax.lax.dot_general(
+            qp, kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (Bb, L, 2L)
+        s1 = _softmax(s[:, :, :length], neg).astype(q.dtype)
+        s2 = _softmax(s[:, :, length:], neg).astype(q.dtype)
+        p = jnp.concatenate([s1, s2], axis=2)  # (Bb, L, 2L)
+        vp = jnp.concatenate([
+            jnp.concatenate([v[:, :, sl1], zero], axis=2),
+            jnp.concatenate([zero, v[:, :, sl2]], axis=2),
+        ], axis=1)  # (Bb, 2L, 2D) block diagonal
+        o = jax.lax.dot_general(
+            p, vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (Bb, L, 2D) = [o1 | o2]
+        o_ref[:, :, sl1] = o[:, :, :D].astype(o_ref.dtype)
+        o_ref[:, :, sl2] = o[:, :, D:].astype(o_ref.dtype)
+
+
 def run(kernel_fn, name, x, mask, block_b, L, iters, results, flops):
     b_tot = x.shape[0]
     blk3 = pl.BlockSpec((block_b, L, HID), lambda i: (i, 0, 0))
@@ -161,13 +198,15 @@ def main():
         "batched_f32_p", x, mask, Bb, L, args.iters, results, flops)
     run(functools.partial(k_unrolled, scale=scale, block_b=Bb), "unrolled_2d",
         x, mask, Bb, L, args.iters, results, flops)
+    run(functools.partial(k_blockdiag, scale=scale, length=L), "blockdiag_pairs",
+        x, mask, Bb, L, args.iters, results, flops)
     # k_allheads: Mosaic rejects the in-kernel (Bb,L,HID)->(Bb,L,H,D) reshape
     # ("infer-vector-layout: unsupported shape cast") — head relayout must
     # stay lane-slicing, measured impossible to batch across heads in-kernel
     if os.environ.get("PROBE_ALLHEADS"):
         run(functools.partial(k_allheads, scale=scale, block_b=Bb, length=L),
             "allheads_batched", x, mask, Bb, L, args.iters, results, flops)
-    for bb in (4, 16):
+    for bb in (16,):  # bb=4 violates the (bb, L) mask-block sublane minimum
         if B % bb == 0:
             run(functools.partial(k_batched, scale=scale), f"batched_bb{bb}",
                 x, mask, bb, L, args.iters, results, flops)

@@ -59,7 +59,16 @@ def main():
                          "- XLA/Mosaic scheduling pathology; kept to reproduce)")
     ap.add_argument("--fused-encoder", action="store_true",
                     help="whole-layer Pallas kernels in the query encoder "
-                         "(ops/fused_attention.py) — the production encode config")
+                         "(ops/fused_attention.py)")
+    ap.add_argument("--int8-encoder", action="store_true",
+                    help="fused kernels + int8 MLP dots in the query encoder "
+                         "— the production encode config (bench.py's), ~2x "
+                         "MXU rate on the MLP half at L=32 query shapes")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="N",
+                    help="serve N independent batches with double-buffered "
+                         "dispatch (encode of batch k+1 enqueued behind search "
+                         "of batch k) and report e2e QPS + p50/p99 per-batch "
+                         "latency — the production serving loop shape")
     args = ap.parse_args()
 
     from matchmaker_tpu.models.bert_dot import BertDot
@@ -100,7 +109,9 @@ def main():
     # query encoder: DistilBERT-class, bf16 compute + bf16 norms (inference path)
     model = BertDot(
         encoder_cfg=EncoderConfig.distilbert(
-            norms_in_compute_dtype=True, fused_attention=args.fused_encoder
+            norms_in_compute_dtype=True,
+            fused_attention=args.fused_encoder or args.int8_encoder,
+            int8_mlp=args.int8_encoder,
         ),
         return_vecs=False, compute_dtype=jnp.bfloat16,
     )
@@ -153,6 +164,52 @@ def main():
 
     out = {"rows": args.rows, "batch": args.batch, "k": args.k,
            "e2e_qps": round(qps, 1), "ms_per_batch": round(best * 1e3, 2)}
+
+    if args.pipeline:
+        # production serving loop: N INDEPENDENT batches double-buffered —
+        # encode of batch k+1 is enqueued while search of batch k executes
+        # (async dispatch; the tunnel/host latency hides behind device work).
+        # Per-batch latency = submit -> top-k scalar on host.
+        n = args.pipeline
+        batches = [
+            (jax.device_put(rng.integers(1000, 29000,
+                size=(args.batch, args.query_len)).astype(np.int32)),
+             jax.device_put(mask))
+            for _ in range(n)
+        ]
+        # warm both programs
+        _ = int(search_program(encode_program(params, *batches[0], jnp.int32(0)), corpus))
+        t_start = time.perf_counter()
+        submit, results = [], []
+        inflight = []
+        for bi, (bids, bmask) in enumerate(batches):
+            submit.append(time.perf_counter())
+            q = encode_program(params, bids, bmask, jnp.int32(bi))
+            inflight.append(search_program(q, corpus))
+            if len(inflight) > 2:  # double buffer: block on the oldest
+                done = inflight.pop(0)
+                results.append(int(done))
+        while inflight:
+            results.append(int(inflight.pop(0)))
+        wall = time.perf_counter() - t_start
+        # latency per batch: completion observed when its int() returned;
+        # approximate per-batch latency by re-running single batches blocked
+        lats = []
+        for bi, (bids, bmask) in enumerate(batches[: min(n, 20)]):
+            t0 = time.perf_counter()
+            _ = int(search_program(encode_program(params, bids, bmask,
+                                                  jnp.int32(100 + bi)), corpus))
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats.sort()
+        out["pipeline_batches"] = n
+        out["pipeline_qps"] = round(n * args.batch / wall, 1)
+        out["pipeline_ms_per_batch"] = round(wall / n * 1e3, 2)
+        out["latency_ms_p50"] = round(lats[len(lats) // 2], 1)
+        out["latency_ms_p99"] = round(lats[min(len(lats) - 1, int(len(lats) * 0.99))], 1)
+        log(f"pipelined {n} batches: {out['pipeline_qps']} QPS e2e "
+            f"({out['pipeline_ms_per_batch']} ms/batch), "
+            f"p50 {out['latency_ms_p50']} ms / p99 {out['latency_ms_p99']} ms "
+            f"(single-batch, incl. tunnel round trip)")
 
     if args.latency:
         # single-dispatch latency: one cold-queue round trip per batch

@@ -166,9 +166,18 @@ def _device_maxsim_merge(scores, slots, valid, top_n: int):
     ~0.5 µs/element): the per-token candidate lists arrive score-DESCENDING
     from top-k, so the MaxSim "max per (token, doc)" is simply each doc's
     FIRST occurrence within its token's list. Zeroing later duplicates turns
-    the aggregation into a plain sum over equal slots — one (C, C) equality
-    mask einsum on the MXU per query (C = Lq·K), with duplicate result rows
-    suppressed by a first-occurrence-across-the-flat-list mask."""
+    the aggregation into a plain sum over equal slots — an equality-mask
+    einsum on the MXU (C = Lq·K), with duplicate result rows suppressed by a
+    first-occurrence-across-the-flat-list mask.
+
+    The equality compare is O(C²) COMPUTE but that is MXU/VPU noise (~2
+    GFLOP/batch at C=4096); what made it the candidate-count cap in round 4
+    was the MATERIALIZED (B, C, C) mask (f32 einsum operand: 1 GB at
+    B=16/C=4096). It is now built i-chunk-wise under ``lax.map`` — peak
+    footprint (B, 512, C) per step — so candidates/token can rise for recall
+    without a quadratic memory term. Output-row chunking only: the einsum,
+    first-occurrence semantics and f32 sums are unchanged (bit-parity with
+    the host reduceat merge)."""
     b, lq, k = scores.shape
     c = lq * k
     # 1. within-token dedup: keep only the first (=max) occurrence of a slot
@@ -181,14 +190,29 @@ def _device_maxsim_merge(scores, slots, valid, top_n: int):
     flat_slots = slots.reshape(b, c)
     flat_valid = valid.reshape(b, c)
     flat_contrib = contrib.reshape(b, c)
-    # 2. sum over ALL kept entries with the same slot: equality-mask matmul
-    eq = (flat_slots[:, :, None] == flat_slots[:, None, :]) & flat_valid[:, None, :]
-    agg = jnp.einsum(
-        "bij,bj->bi", eq.astype(jnp.float32), flat_contrib,
-        preferred_element_type=jnp.float32,
-    )  # exact f32 sums — parity with the host reduceat merge
-    # 3. one result row per distinct doc: suppress non-first occurrences
-    first = ~(eq & jnp.tril(jnp.ones((c, c), bool), -1)[None]).any(axis=-1)
+
+    i_chunk = min(c, 512)
+    c_pad = -(-c // i_chunk) * i_chunk
+    slots_p = jnp.pad(flat_slots, ((0, 0), (0, c_pad - c)), constant_values=-1)
+    j_idx = jnp.arange(c)
+
+    def merge_chunk(i0):
+        sl_i = jax.lax.dynamic_slice(slots_p, (0, i0), (b, i_chunk))
+        # 2. sum over ALL kept entries with the same slot (this chunk's rows)
+        eq = (sl_i[:, :, None] == flat_slots[:, None, :]) & flat_valid[:, None, :]
+        agg = jnp.einsum(
+            "bij,bj->bi", eq.astype(jnp.float32), flat_contrib,
+            preferred_element_type=jnp.float32,
+        )  # exact f32 sums — parity with the host reduceat merge
+        # 3. one result row per distinct doc: suppress non-first occurrences
+        i_idx = i0 + jnp.arange(i_chunk)
+        first = ~(eq & (j_idx[None, None, :] < i_idx[None, :, None])).any(axis=-1)
+        return agg, first
+
+    agg, first = jax.lax.map(
+        merge_chunk, jnp.arange(0, c_pad, i_chunk, dtype=jnp.int32))
+    agg = jnp.moveaxis(agg, 0, 1).reshape(b, c_pad)[:, :c]
+    first = jnp.moveaxis(first, 0, 1).reshape(b, c_pad)[:, :c]
     agg = jnp.where(first & flat_valid, agg, -jnp.inf)
     vals, pos = jax.lax.top_k(agg, top_n)
     sel = jnp.take_along_axis(flat_slots, pos, axis=1)
