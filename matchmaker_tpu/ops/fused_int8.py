@@ -204,7 +204,9 @@ def _attn_int8_kernel(x_ref, wq_ref, sq_ref, wk_ref, sk_ref, wv_ref, sv_ref,
             s = s + neg[:, None, :]
             s = s - s.max(axis=-1, keepdims=True)
             p = jnp.exp(s)
-            p = (p / p.sum(axis=-1, keepdims=True)).astype(xb.dtype)
+            # p stays f32 (see fused_attention._block_kernel: the bf16 cast
+            # costs more than it saves on these latency-bound dots)
+            p = p / p.sum(axis=-1, keepdims=True)
             parts.append(jax.lax.dot_general(
                 p, vg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -315,7 +317,7 @@ def reference_attention_int8_block(x, wqq, sq, wkq, sk, wvq, sv, woq, so,
             s = s + neg[:, None, :]
             s = s - s.max(axis=-1, keepdims=True)
             p = jnp.exp(s)
-            p = (p / p.sum(axis=-1, keepdims=True)).astype(x.dtype)
+            p = p / p.sum(axis=-1, keepdims=True)  # f32 into the attend dot
             parts.append(jax.lax.dot_general(
                 p, vg[:, :, sl], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
