@@ -210,8 +210,21 @@ class Trainer:
             step, {"params": self.params, "opt_state": self.opt_state,
                    "step": 0, "epoch": 0, "epoch_batch": 0}
         )
+        # orbax restores leaves whose template was a single-device array
+        # (optax step counts — tx.init creates them eagerly on the default
+        # device, not on the mesh) as COMMITTED single-device arrays; under a
+        # multi-process mesh a jit mixing those with mesh-sharded params
+        # raises "incompatible devices". Hand them back as host arrays —
+        # uncommitted, exactly like the fresh tx.init leaves they replace.
+        def _unpin(x):
+            if isinstance(x, jax.Array) and isinstance(
+                x.sharding, jax.sharding.SingleDeviceSharding
+            ):
+                return np.asarray(x)
+            return x
+
         self.params = state["params"]
-        self.opt_state = state["opt_state"]
+        self.opt_state = jax.tree_util.tree_map(_unpin, state["opt_state"])
         self.global_step = int(state["step"])
         self._epoch = int(state["epoch"])
         self._epoch_batch = int(state["epoch_batch"])
