@@ -310,7 +310,7 @@ def main():
             run(cfg, functools.partial(
                 lambda q, c, t: binmax_scan_topk(q, c, args.k, n_valid=args.rows, tile_rows=t),
                 t=tile), (bf16_corpus,))
-    if "binmax_int8" in configs:
+    if {c for c in configs if c.startswith("binmax_int8")}:
         # fused int8 candidate kernel: MXU double-rate int8 dots at half the
         # HBM corpus traffic, absmax bin scales exactly like FlatIndex's
         # production path (quantize_corpus_binwise). The build_corpus int8
@@ -330,8 +330,9 @@ def main():
         else:
             v8 = values
             cscales = jnp.full((values.shape[0] // 128, 1), float(scale), jnp.float32)
-        run("binmax_int8", lambda q, v, s: binmax_scan_topk(
-            q, v, args.k, n_valid=args.rows, corpus_scales=s), (v8, cscales))
+        if "binmax_int8" in configs:
+            run("binmax_int8", lambda q, v, s: binmax_scan_topk(
+                q, v, args.k, n_valid=args.rows, corpus_scales=s), (v8, cscales))
         if "binmax_int8_rescore" in configs:
             # int8 binmax candidates + exact rescore of the SAME int8 codes
             # (f32 query, per-row dequant) — recall parity at ~zero memory
@@ -341,6 +342,12 @@ def main():
             run("binmax_int8_rescore", lambda q, v, s: binmax_rescore_topk(
                 q, v, s, args.k, oversample=args.oversample, n_valid=args.rows),
                 (v8, cscales))
+        if "binmax_int8_bf16q" in configs:
+            # MIXED kernel: bf16 query × in-kernel-dequantized int8 codes —
+            # bf16-scan recall at int8 memory/HBM traffic, no gather stage
+            run("binmax_int8_bf16q", lambda q, v, s: binmax_scan_topk(
+                q, v, args.k, n_valid=args.rows, corpus_scales=s,
+                mixed_queries=True), (v8, cscales))
     if "twostage_int8" in configs:
         run("twostage_int8", lambda q, v, s: twostage_exact_topk(
             q, v, s, args.k, oversample=args.oversample, block_size=args.block,

@@ -69,11 +69,25 @@ def main():
                          "dispatch (encode of batch k+1 enqueued behind search "
                          "of batch k) and report e2e QPS + p50/p99 per-batch "
                          "latency — the production serving loop shape")
+    ap.add_argument("--pipeline-depth", type=int, default=4,
+                    help="in-flight batches before blocking on the oldest "
+                         "(absorbs tunnel-congestion jitter)")
+    ap.add_argument("--int8-search", action="store_true",
+                    help="MIXED int8 binmax scan (bf16 query x in-kernel-"
+                         "dequantized int8 codes, mixed_queries=True) — "
+                         "bf16-scan recall at half the corpus HBM traffic. "
+                         "The gather-based exact rescore measured 106 ms/"
+                         "batch at this geometry (XLA gather pathology); "
+                         "the mixed kernel replaces it")
+    ap.add_argument("--int8-rescore", action="store_true",
+                    help="int8 scan + gathered exact rescore (binmax_"
+                         "rescore_topk) — kept to reproduce the gather "
+                         "pathology measurement")
     args = ap.parse_args()
 
     from matchmaker_tpu.models.bert_dot import BertDot
     from matchmaker_tpu.models.encoder import EncoderConfig
-    from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk
+    from matchmaker_tpu.ops.mips_binmax import binmax_rescore_topk, binmax_scan_topk
 
     log(f"device={jax.devices()[0]} rows={args.rows} batch={args.batch} k={args.k}")
 
@@ -99,12 +113,42 @@ def main():
         return jax.lax.dynamic_update_slice(buf, b, (i * block, 0))
 
     t0 = time.time()
-    corpus = jnp.zeros((n_pad, args.dim), jnp.bfloat16)
-    for i in range(-(-n_pad // block)):
-        b = gen_block(jax.random.fold_in(jax.random.PRNGKey(5), i))
-        corpus = fill(corpus, b[: min(block, n_pad - i * block)], i)
-    jax.block_until_ready(corpus)
-    log(f"corpus built in {time.time()-t0:.0f}s ({corpus.nbytes/1e9:.1f} GB bf16)")
+    if args.int8_search or args.int8_rescore:
+        # int8 bin-scale codes built block-wise on device (block is a
+        # multiple of the 128-row bin width): absmax per 128-row bin / 127,
+        # exactly quantize_corpus_binwise's layout without a host pass.
+        @jax.jit
+        def quant_block(key):
+            v = jax.random.normal(key, (block, args.dim), jnp.float32)
+            v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            s = jnp.abs(v).reshape(-1, 128, args.dim).max(axis=(1, 2)) / 127.0
+            s = jnp.maximum(s, 1e-10)
+            codes = jnp.clip(
+                jnp.round(v / jnp.repeat(s, 128)[:, None]), -127, 127
+            ).astype(jnp.int8)
+            return codes, s.reshape(-1, 1)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fill2(cbuf, sbuf, c, s, i):
+            return (jax.lax.dynamic_update_slice(cbuf, c, (i * block, 0)),
+                    jax.lax.dynamic_update_slice(sbuf, s, (i * block // 128, 0)))
+
+        corpus = jnp.zeros((n_pad, args.dim), jnp.int8)
+        scales = jnp.zeros((n_pad // 128, 1), jnp.float32)
+        for i in range(-(-n_pad // block)):
+            c, s = quant_block(jax.random.fold_in(jax.random.PRNGKey(5), i))
+            rows = min(block, n_pad - i * block)
+            corpus, scales = fill2(corpus, scales, c[:rows], s[: rows // 128], i)
+        jax.block_until_ready(corpus)
+        log(f"corpus built in {time.time()-t0:.0f}s ({corpus.nbytes/1e9:.1f} GB int8)")
+    else:
+        scales = None
+        corpus = jnp.zeros((n_pad, args.dim), jnp.bfloat16)
+        for i in range(-(-n_pad // block)):
+            b = gen_block(jax.random.fold_in(jax.random.PRNGKey(5), i))
+            corpus = fill(corpus, b[: min(block, n_pad - i * block)], i)
+        jax.block_until_ready(corpus)
+        log(f"corpus built in {time.time()-t0:.0f}s ({corpus.nbytes/1e9:.1f} GB bf16)")
 
     # query encoder: DistilBERT-class, bf16 compute + bf16 norms (inference path)
     model = BertDot(
@@ -126,18 +170,30 @@ def main():
         shifted = jnp.where(ids > 0, ids + seed % 2, ids)
         return model.apply({"params": params}, shifted, mask, "query", method=BertDot.encode)
 
+    def run_search(q_vecs, corpus):
+        # consume BOTH outputs in full (XLA narrows top_k to consumed columns)
+        if args.int8_rescore:
+            vals, doc_ids = binmax_rescore_topk(
+                q_vecs.astype(jnp.float32), corpus, scales, args.k,
+                n_valid=args.rows)
+        elif args.int8_search:
+            vals, doc_ids = binmax_scan_topk(
+                q_vecs, corpus, args.k, n_valid=args.rows,
+                corpus_scales=scales, mixed_queries=True)
+        else:
+            vals, doc_ids = binmax_scan_topk(q_vecs, corpus, args.k, n_valid=args.rows)
+        return (jnp.abs(jnp.where(jnp.isfinite(vals), vals, 0.0)).sum()
+                + doc_ids.sum() % 2).astype(jnp.int32)
+
     @jax.jit
     def search_program(q_vecs, corpus):
-        # consume BOTH outputs in full (XLA narrows top_k to consumed columns)
-        vals, doc_ids = binmax_scan_topk(q_vecs, corpus, args.k, n_valid=args.rows)
-        return (jnp.abs(vals).sum() + doc_ids.sum() % 2).astype(jnp.int32)
+        return run_search(q_vecs, corpus)
 
     @jax.jit
     def fused_program(params, ids, mask, seed, corpus):
         shifted = jnp.where(ids > 0, ids + seed % 2, ids)
         q_vecs = model.apply({"params": params}, shifted, mask, "query", method=BertDot.encode)
-        vals, doc_ids = binmax_scan_topk(q_vecs, corpus, args.k, n_valid=args.rows)
-        return (jnp.abs(vals).sum() + doc_ids.sum() % 2).astype(jnp.int32)
+        return run_search(q_vecs, corpus)
 
     if args.fused:
         def serve(params, ids, mask, seed, corpus):
@@ -186,7 +242,7 @@ def main():
             submit.append(time.perf_counter())
             q = encode_program(params, bids, bmask, jnp.int32(bi))
             inflight.append(search_program(q, corpus))
-            if len(inflight) > 2:  # double buffer: block on the oldest
+            if len(inflight) > args.pipeline_depth:  # block on the oldest
                 done = inflight.pop(0)
                 results.append(int(done))
         while inflight:

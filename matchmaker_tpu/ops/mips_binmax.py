@@ -285,6 +285,35 @@ def _binmax_kernel_int8(q_ref, c_ref, cs_ref, qs_ref, val_ref, *, tile_rows,
     val_ref[...] = _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
 
 
+def _binmax_kernel_int8f(q_ref, c_ref, cs_ref, val_ref, *, tile_rows,
+                         n_valid, per_bin):
+    """Mixed int8-corpus / bf16-query variant: the tile's int8 codes are
+    dequantized to bf16 IN-KERNEL (exact — 7-bit codes fit bf16's 8-bit
+    mantissa) and dotted against the UNQUANTIZED bf16 query.
+
+    Same HBM corpus traffic as the int8 kernel (the codes are what crosses
+    HBM; the bf16 copy lives only in VMEM) but no query-quantization noise:
+    scores match the bf16 kernel to bf16-rounding, so recall matches the
+    bf16 scan (0.9967@1000 on the search bench) at int8 memory. The cost is
+    the MXU's bf16 rate instead of the int8 double rate — immaterial while
+    the scan is HBM-bound. This supersedes the gather-based exact rescore
+    for recall-parity int8 serving: the (Q, fetch, D) candidate gather is
+    XLA-pathological on TPU (~90 ms at serving shapes, docs/tpu_design.md
+    "lowering hazards"), while this kernel pays ~zero."""
+    i = pl.program_id(0)
+    raw = jax.lax.dot_general(
+        c_ref[...].astype(jnp.bfloat16),
+        q_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, Q) f32
+    nb = raw.shape[0] // BIN_WIDTH
+    q = raw.shape[1]
+    scores_t = (raw.reshape(nb, BIN_WIDTH, q) * cs_ref[...][:, :, None]
+                ).reshape(nb * BIN_WIDTH, q)
+    val_ref[...] = _topk_per_bin_t(scores_t, i * tile_rows, n_valid, per_bin)
+
+
 def _transpose_kernel(in_ref, out_ref):
     out_ref[...] = in_ref[...].T
 
@@ -395,9 +424,12 @@ def binmax_candidates(
     n = corpus.shape[0]
     q_chunk = max(128, q_chunk // 128 * 128)  # lane-axis multiple
     int8_mode = corpus.dtype == jnp.int8
+    # int8 corpus + float queries (query_scales omitted) = the MIXED kernel:
+    # in-kernel bf16 dequant against the unquantized bf16 query
+    mixed_mode = int8_mode and query_scales is None
     if int8_mode:
-        assert corpus_scales is not None and query_scales is not None, \
-            "int8 corpus needs corpus_scales (N/128,1) bin scales and query_scales (Q,1)"
+        assert corpus_scales is not None, \
+            "int8 corpus needs corpus_scales (N/128,1) bin scales"
         assert n % BIN_WIDTH == 0 and corpus_scales.shape[0] == n // BIN_WIDTH, \
             "int8 corpus rows must be a bin multiple (quantize_corpus_binwise pads)"
     elif corpus.dtype != jnp.bfloat16:
@@ -418,15 +450,20 @@ def binmax_candidates(
         interpret = not _on_tpu()
 
     q_pad = -(-q // 128) * 128  # Q is the lane axis in-kernel
-    qb = queries if int8_mode else queries.astype(jnp.bfloat16)
+    qb = queries if (int8_mode and not mixed_mode) else queries.astype(jnp.bfloat16)
     if q_pad != q:
         qb = jnp.pad(qb, ((0, q_pad - q), (0, 0)))
-        if int8_mode:
+        if query_scales is not None:
             query_scales = jnp.pad(query_scales, ((0, q_pad - q), (0, 0)))
 
     nb_tile = tile_rows // BIN_WIDTH * per_bin
     n_cands = n_pad // BIN_WIDTH * per_bin
-    if int8_mode:
+    if mixed_mode:
+        kernel = functools.partial(
+            _binmax_kernel_int8f, tile_rows=tile_rows, n_valid=n_valid, per_bin=per_bin
+        )
+        qs_t = None
+    elif int8_mode:
         kernel = functools.partial(
             _binmax_kernel_int8, tile_rows=tile_rows, n_valid=n_valid, per_bin=per_bin
         )
@@ -440,19 +477,23 @@ def binmax_candidates(
     def launch(q_block, qs_block=None):  # (q_chunk_or_pad, D) → PHYSICAL (q_block, width)
         qp = q_block.shape[0]
         if int8_mode:
+            ins = [q_block, corpus, corpus_scales.astype(jnp.float32)]
+            in_specs = [
+                pl.BlockSpec((qp, dim), lambda i: (0, 0)),
+                pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
+                pl.BlockSpec((tile_rows // BIN_WIDTH, 1), lambda i: (i, 0)),
+            ]
+            if not mixed_mode:
+                ins.append(qs_block)
+                in_specs.append(pl.BlockSpec((1, qp), lambda i: (0, 0)))
             vals_t = pl.pallas_call(
                 kernel,
                 grid=(n_pad // tile_rows,),
-                in_specs=[
-                    pl.BlockSpec((qp, dim), lambda i: (0, 0)),
-                    pl.BlockSpec((tile_rows, dim), lambda i: (i, 0)),
-                    pl.BlockSpec((tile_rows // BIN_WIDTH, 1), lambda i: (i, 0)),
-                    pl.BlockSpec((1, qp), lambda i: (0, 0)),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((nb_tile, qp), lambda i: (i, 0)),
                 out_shape=jax.ShapeDtypeStruct((n_cands, qp), jnp.float32),
                 interpret=interpret,
-            )(q_block, corpus, corpus_scales.astype(jnp.float32), qs_block)
+            )(*ins)
         else:
             vals_t = pl.pallas_call(
                 kernel,
@@ -477,10 +518,10 @@ def binmax_candidates(
     q_pad = -(-q // q_chunk) * q_chunk
     if q_pad != qb.shape[0]:
         qb = jnp.pad(qb, ((0, q_pad - qb.shape[0]), (0, 0)))
-        if int8_mode:
+        if qs_t is not None:
             qs_t = jnp.pad(qs_t, ((0, 0), (0, q_pad - qs_t.shape[1])))
     chunks = qb.reshape(q_pad // q_chunk, q_chunk, dim)
-    if int8_mode:
+    if qs_t is not None:
         qs_chunks = qs_t.reshape(q_pad // q_chunk, 1, q_chunk)
         vals = jax.lax.map(lambda args: launch(*args), (chunks, qs_chunks))
     else:
@@ -503,6 +544,7 @@ def binmax_candidates_jnp(
     q, dim = queries.shape
     n = corpus.shape[0]
     int8_mode = corpus.dtype == jnp.int8
+    mixed_mode = int8_mode and query_scales is None  # see binmax_candidates
     grain = padding_grain(tile_rows, per_bin)  # same padding rule as pallas
     if n % grain != 0:
         corpus = jnp.pad(corpus, ((0, grain - n % grain), (0, 0)))
@@ -511,17 +553,25 @@ def binmax_candidates_jnp(
                 corpus_scales, ((0, (grain - n % grain) // BIN_WIDTH), (0, 0)))
     if n_valid is None:
         n_valid = n
-    qb = queries if int8_mode else queries.astype(jnp.bfloat16)
+    qb = queries if (int8_mode and not mixed_mode) else queries.astype(jnp.bfloat16)
     blocks = corpus.reshape(-1, tile_rows, dim)
     nb_t = tile_rows // BIN_WIDTH
     sblocks = (corpus_scales.astype(jnp.float32).reshape(-1, nb_t, 1)
                if int8_mode else jnp.zeros((blocks.shape[0], 1, 1)))
     qs_t = (query_scales.astype(jnp.float32).reshape(1, -1)
-            if int8_mode else None)
+            if int8_mode and not mixed_mode else None)
 
     def body(_, inp):
         blk, sblk, i = inp
-        if int8_mode:
+        if mixed_mode:
+            raw = jax.lax.dot_general(
+                blk.astype(jnp.bfloat16), qb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            qn = raw.shape[1]
+            scores_t = (raw.reshape(nb_t, BIN_WIDTH, qn) * sblk[:, :, None]
+                        ).reshape(tile_rows, qn)
+        elif int8_mode:
             raw = jax.lax.dot_general(
                 blk, qb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -586,9 +636,14 @@ def binmax_scan_topk(
     gate_rows: Optional[int] = None,
     corpus_scales: Optional[jnp.ndarray] = None,
     q_chunk: Optional[int] = None,
+    mixed_queries: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over an f16/bf16 (or int8 + per-row scales) corpus: fused
     candidate scan + one exact top-k.
+
+    ``mixed_queries`` (int8 corpus only): keep queries in bf16 and dequantize
+    corpus tiles in-kernel (:func:`_binmax_kernel_int8f`) — bf16-scan recall
+    at int8 memory and HBM traffic; the recall-parity int8 serving mode.
 
     Drop-in for :func:`ops.mips_f16.f16_scan_topk` (approx mode); same
     (values, int32 ids) contract, ids offset by ``index_offset`` for sharding.
@@ -611,11 +666,12 @@ def binmax_scan_topk(
     if use_pallas and q_chunk is not None:
         kw["q_chunk"] = q_chunk
     if corpus.dtype == jnp.int8:
-        qf = queries.astype(jnp.float32)
-        q_scale = jnp.maximum(jnp.abs(qf).max(axis=1, keepdims=True) / 127.0, 1e-10)
-        queries = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
         kw["corpus_scales"] = corpus_scales
-        kw["query_scales"] = q_scale
+        if not mixed_queries:
+            qf = queries.astype(jnp.float32)
+            q_scale = jnp.maximum(jnp.abs(qf).max(axis=1, keepdims=True) / 127.0, 1e-10)
+            queries = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+            kw["query_scales"] = q_scale
 
     # Final-selection economics: lax.top_k at k~1000 lowers to a FULL STABLE
     # SORT on TPU (~0.5 µs/element — 70 ms over the 8.9M corpus's 139k

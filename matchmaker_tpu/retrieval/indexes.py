@@ -98,6 +98,12 @@ class FlatIndex(BaseNNIndexer):
         self.twostage = config.get("mips_twostage", False)
         self.oversample = config.get("mips_oversample", 4)
         self.rescore_dtype = config.get("mips_rescore_dtype", "int8")  # int8|float16
+        # mips_int8_queries: "int8" (default — double-rate MXU, quantized
+        # query noise, recall@1000 0.912) or "float" (mixed kernel: bf16
+        # query × in-kernel-dequantized int8 codes — bf16-scan recall at
+        # int8 memory; the recall-parity int8 mode, preferred over
+        # mips_twostage whose candidate gather is XLA-pathological on TPU)
+        self.int8_queries = config.get("mips_int8_queries", "int8")
         # binmax geometry overrides for workload tuning (None = adaptive
         # defaults). ColBERT per-token search (k=64 per token over wide
         # (B·Lq)-row query batches) measures best at mips_per_bin=1 +
@@ -199,6 +205,7 @@ class FlatIndex(BaseNNIndexer):
             self._device_vectors = (dv, ds, rescore)
             row_count = self._row_count
             twostage, oversample = self.twostage, self.oversample
+            mixed = self.int8_queries == "float"
             geom = {k_: v for k_, v in (
                 ("tile_rows", self.tile_rows_override), ("q_chunk", self.q_chunk_override),
             ) if v}
@@ -213,6 +220,14 @@ class FlatIndex(BaseNNIndexer):
                     per_bin = 1 << (want - 1).bit_length()
                     if per_bin_override and row_count // 128 * per_bin_override >= 8 * k:
                         per_bin = per_bin_override  # still >=8x oversampled
+                    if mixed:
+                        # bf16-query mixed kernel: bf16-scan recall straight
+                        # off the int8 codes — no rescore stage needed
+                        return sharded_binmax_topk(
+                            queries, values, k, mesh=mesh, axis=axes,
+                            n_valid=row_count, per_bin=per_bin,
+                            corpus_scales=scales, mixed_queries=True, **geom,
+                        )
                     if twostage:
                         # in-bin candidate loss needs per_bin>=4 (Poisson
                         # tail: P(>=4 noise-inflated rivals) ~1e-3); rescore

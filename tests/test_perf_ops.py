@@ -473,6 +473,83 @@ def test_flat_index_int8_binmax(eight_devices):
         assert "d3" in set(got[0]) and f"d{n-5}" in set(got[1]), (n, got)
 
 
+def test_binmax_mixed_pallas_matches_jnp():
+    """Mixed int8-corpus/bf16-query kernel (interpret mode) vs the jnp mixed
+    reference: identical packed bits; scores match the f32 query x
+    dequantized-codes dot to bf16 rounding (NO query-quantization noise —
+    the selection itself runs at rescore precision)."""
+    from matchmaker_tpu.ops.mips_binmax import (
+        binmax_candidates,
+        binmax_candidates_jnp,
+        binmax_scan_topk,
+        unpack_candidates,
+    )
+    from matchmaker_tpu.ops.mips_quant import quantize_corpus_binwise
+
+    rng = np.random.default_rng(31)
+    n, d, q, k = 3000, 32, 7, 8  # padding path (3000 % grain != 0)
+    corpus_f = rng.normal(size=(n, d)).astype(np.float32)
+    values, bscales = quantize_corpus_binwise(corpus_f)  # pads to 3072
+    corpus = jnp.asarray(values)
+    cscales = jnp.asarray(bscales)
+    queries = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+
+    # query_scales omitted → mixed mode in both implementations
+    p1 = binmax_candidates(queries, corpus, interpret=True, tile_rows=512,
+                           n_valid=n, corpus_scales=cscales)
+    p2 = binmax_candidates_jnp(queries, corpus, tile_rows=512, n_valid=n,
+                               corpus_scales=cscales)
+    cols = jnp.broadcast_to(jnp.arange(p1.shape[1]), p1.shape)
+    v1, i1 = map(np.asarray, unpack_candidates(p1, cols, 512, 2))
+    v2, i2 = map(np.asarray, unpack_candidates(p2, cols, 512, 2))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+    finite = np.isfinite(v1)
+    assert i1[finite].max() < n
+    # scores equal the f32 query x dequantized-codes dot within bf16
+    # rounding + mantissa packing (~2^-7 relative) — NOT int8 query noise
+    dequant = (np.asarray(values, np.float32)
+               * np.repeat(np.asarray(bscales)[:, 0], 128)[:, None])[:n]
+    true_dq = np.asarray(queries) @ dequant.T
+    sel = i1[finite]
+    qi = np.broadcast_to(np.arange(q)[:, None], i1.shape)[finite]
+    np.testing.assert_allclose(v1[finite], true_dq[qi, sel], rtol=2e-2)
+
+    # scan_topk mixed: near-exact top-k vs the UNQUANTIZED f32 scores —
+    # only corpus code noise remains
+    true = np.asarray(queries) @ corpus_f.T
+    tv, ti = binmax_scan_topk(queries, corpus, k=k, tile_rows=512, n_valid=n,
+                              use_pallas=False, corpus_scales=cscales,
+                              mixed_queries=True)
+    exact = np.argsort(-true, axis=1)[:, :k]
+    for r in range(q):
+        assert len(set(map(int, np.asarray(ti)[r])) & set(map(int, exact[r]))) >= k - 2
+
+
+def test_flat_index_int8_mixed_queries(eight_devices):
+    """FlatIndex mips_int8_queries=float routes to the mixed kernel on the
+    mesh (sharded_binmax_topk mixed_queries=True) and returns correct ids."""
+    from matchmaker_tpu.parallel.mesh import make_mesh
+    from matchmaker_tpu.retrieval.indexes import FlatIndex
+
+    rng = np.random.default_rng(33)
+    n = 8 * 2048
+    index = FlatIndex(
+        {"token_dtype": "float16", "mips_quantization": "int8",
+         "mips_kernel": "binmax", "mips_int8_queries": "float"}, make_mesh(),
+    )
+    vectors = rng.normal(size=(n, 24)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    ids = np.array([f"d{i}" for i in range(n)])
+    index.prepare(24)
+    index.index(ids, vectors)
+    q = vectors[[3, n - 5]]
+    scores, got = index.search(q, 5)
+    assert np.isfinite(scores).all(), scores
+    assert "d3" in set(got[0]) and f"d{n-5}" in set(got[1]), got
+
+
 def test_binmax_rescore_recovers_exact_ranking():
     """binmax_rescore_topk: the int8 binmax scan's ranking error (double
     quantization + 7-bit mantissa packing) is undone by the exact-rescore

@@ -166,6 +166,20 @@ def gate_binmax_int8_rescore_1m():
     ).lower(q, corpus, scales).compile()
 
 
+def gate_binmax_int8_mixed_1m():
+    """Mixed int8-corpus/bf16-query binmax (the recall-parity int8 serving
+    scan: in-kernel dequant, no query quantization, no gather)."""
+    from matchmaker_tpu.ops.mips_binmax import binmax_scan_topk
+
+    q = _s((256, 768), F32)
+    corpus = _s((1_048_576, 768), jnp.int8)
+    scales = _s((1_048_576 // 128, 1), F32)
+    jax.jit(
+        lambda q, c, s: binmax_scan_topk(
+            q, c, k=1000, corpus_scales=s, mixed_queries=True)
+    ).lower(q, corpus, scales).compile()
+
+
 def gate_mips_quant_1m():
     from matchmaker_tpu.ops.mips_quant import quantized_blocked_topk
 
@@ -196,6 +210,7 @@ GATES = {
     "binmax_bf16_1m": gate_binmax_1m,
     "binmax_int8_1m": gate_binmax_int8_1m,
     "binmax_int8_rescore_1m": gate_binmax_int8_rescore_1m,
+    "binmax_int8_mixed_1m": gate_binmax_int8_mixed_1m,
     "mips_quant_int8_1m": gate_mips_quant_1m,
     "mips_f16_scan_1m": gate_mips_f16_1m,
 }
