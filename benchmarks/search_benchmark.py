@@ -318,14 +318,36 @@ def main():
         # 768-dim rows peak at ~0.15 — 2.7 wasted bits that measured
         # recall@1000 0.912; true bin absmax restores the envelope.
         if rescore is not None:
-            v8, bscales = None, None
-            from matchmaker_tpu.ops.mips_quant import quantize_corpus_binwise
+            # binwise absmax quantization ON DEVICE, block-wise (layout
+            # identical to ops/mips_quant.quantize_corpus_binwise — that host
+            # path costs minutes here because it first pulls the corpus
+            # through the TPU tunnel; production FlatIndex quantizes host
+            # vectors it already owns, so it never pays that transfer)
+            qblk = 131072  # multiple of the 128-row bin width
 
-            host = np.asarray(rescore, dtype=np.float32)
-            v8_np, bs_np = quantize_corpus_binwise(host)
-            del host
-            v8 = jnp.asarray(v8_np)
-            cscales = jnp.asarray(bs_np)
+            @jax.jit
+            def quant_block(r):
+                v = r.astype(jnp.float32)
+                s = jnp.maximum(
+                    jnp.abs(v).reshape(-1, 128, v.shape[1]).max(axis=(1, 2))
+                    / 127.0, 1e-10)
+                q = jnp.clip(jnp.round(v / jnp.repeat(s, 128)[:, None]),
+                             -127, 127).astype(jnp.int8)
+                return q, s[:, None]
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def fill_q(vbuf, sbuf, qv, qs, i):
+                return (jax.lax.dynamic_update_slice(vbuf, qv, (i * qblk, 0)),
+                        jax.lax.dynamic_update_slice(sbuf, qs, (i * qblk // 128, 0)))
+
+            n_rows = rescore.shape[0]  # already padded to a bin multiple
+            v8 = jnp.zeros((n_rows, args.dim), jnp.int8)
+            cscales = jnp.zeros((n_rows // 128, 1), jnp.float32)
+            for i in range(-(-n_rows // qblk)):
+                blk = jax.lax.dynamic_slice_in_dim(
+                    rescore, i * qblk, min(qblk, n_rows - i * qblk), axis=0)
+                qv, qs = quant_block(blk)
+                v8, cscales = fill_q(v8, cscales, qv, qs, i)
             jax.block_until_ready(v8)
         else:
             v8 = values
